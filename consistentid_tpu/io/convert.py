@@ -1,0 +1,162 @@
+"""Torch state_dict -> flax param-tree converters.
+
+Covers the reference checkpoint layouts:
+  - ConsistentID-v1.bin: {image_proj_model, adapter_modules, FacialEncoder}
+    (reference evaluation/convert_weights.py:14-25,
+     pipline_StableDiffusion_ConsistentID.py:125-144)
+  - the individual adapter submodules (functions.py:389-603, attention.py)
+  - HF diffusers UNet/VAE and transformers CLIP state dicts (models/*.py
+    document their own key maps; see unet_from_torch etc. below)
+
+Inputs are plain dict[str, np.ndarray] (call `torch_state_dict_to_numpy` on a
+loaded torch checkpoint first so this module never imports torch itself).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _join(prefix: str, name: str) -> str:
+    return f"{prefix}.{name}" if prefix else name
+
+
+def torch_state_dict_to_numpy(sd) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        out[k] = v.detach().cpu().float().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+# -- primitive layer converters ---------------------------------------------
+
+def linear(sd: Mapping[str, np.ndarray], prefix: str, bias: bool = True):
+    p = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if bias:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def layernorm(sd: Mapping[str, np.ndarray], prefix: str):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def groupnorm(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def conv(sd: Mapping[str, np.ndarray], prefix: str, bias: bool = True):
+    # torch conv weight (O, I, kh, kw) -> flax (kh, kw, I, O)
+    p = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].transpose(2, 3, 1, 0))}
+    if bias:
+        p["bias"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def embedding(sd, prefix):
+    return {"embedding": sd[f"{prefix}.weight"]}
+
+
+# -- adapter converters ------------------------------------------------------
+
+def perceiver_attention(sd, p: str):
+    return {
+        "norm1": layernorm(sd, _join(p, "norm1")),
+        "norm2": layernorm(sd, _join(p, "norm2")),
+        "to_q": linear(sd, _join(p, "to_q"), bias=False),
+        "to_kv": linear(sd, _join(p, "to_kv"), bias=False),
+        "to_out": linear(sd, _join(p, "to_out"), bias=False),
+    }
+
+
+def feedforward(sd, p: str):
+    # torch Sequential: 0 LayerNorm, 1 Linear(no bias), 2 GELU, 3 Linear(no bias)
+    return {
+        "norm": layernorm(sd, _join(p, "0")),
+        "fc1": linear(sd, _join(p, "1"), bias=False),
+        "fc2": linear(sd, _join(p, "3"), bias=False),
+    }
+
+
+def face_perceiver_resampler(sd, p: str = "", depth: int = 4):
+    out = {
+        "proj_in": linear(sd, _join(p, "proj_in")),
+        "proj_out": linear(sd, _join(p, "proj_out")),
+        "norm_out": layernorm(sd, _join(p, "norm_out")),
+    }
+    for i in range(depth):
+        out[f"layers_{i}_attn"] = perceiver_attention(sd, _join(p, f"layers.{i}.0"))
+        out[f"layers_{i}_ff"] = feedforward(sd, _join(p, f"layers.{i}.1"))
+    return out
+
+
+def proj_plus_model(sd, p: str = "", depth: int = 4):
+    return {
+        "proj_0": linear(sd, _join(p, "proj.0")),
+        "proj_2": linear(sd, _join(p, "proj.2")),
+        "norm": layernorm(sd, _join(p, "norm")),
+        "perceiver_resampler": face_perceiver_resampler(
+            sd, _join(p, "perceiver_resampler"), depth),
+    }
+
+
+def attention_mlp(sd, p: str = "", depth: int = 8):
+    out = {
+        "latents": sd[_join(p, "latents")],
+        "proj_in": linear(sd, _join(p, "proj_in")),
+        "proj_out": linear(sd, _join(p, "proj_out")),
+        "norm_out": layernorm(sd, _join(p, "norm_out")),
+    }
+    for i in range(depth):
+        out[f"layers_{i}_attn"] = perceiver_attention(sd, _join(p, f"layers.{i}.0"))
+        out[f"layers_{i}_ff"] = feedforward(sd, _join(p, f"layers.{i}.1"))
+    return out
+
+
+def mlp(sd, p: str):
+    return {
+        "layernorm": layernorm(sd, _join(p, "layernorm")),
+        "fc1": linear(sd, _join(p, "fc1")),
+        "fc2": linear(sd, _join(p, "fc2")),
+    }
+
+
+def fuse_module(sd, p: str = ""):
+    return {
+        "mlp1": mlp(sd, _join(p, "mlp1")),
+        "mlp2": mlp(sd, _join(p, "mlp2")),
+        "layer_norm": layernorm(sd, _join(p, "layer_norm")),
+    }
+
+
+def facial_encoder(sd, p: str = "", depth: int = 8):
+    return {
+        "visual_projection": attention_mlp(sd, _join(p, "visual_projection"), depth),
+        "fuse_module": fuse_module(sd, _join(p, "fuse_module")),
+    }
+
+
+def lora_layer(sd, p: str):
+    return {
+        "down": linear(sd, _join(p, "down"), bias=False),
+        "up": linear(sd, _join(p, "up"), bias=False),
+    }
+
+
+def consistent_att_processor(sd, p: str):
+    """LoRA-only self-attn processor params (reference attention.py:90-108)."""
+    return {
+        "to_q_lora": lora_layer(sd, _join(p, "to_q_lora")),
+        "to_k_lora": lora_layer(sd, _join(p, "to_k_lora")),
+        "to_v_lora": lora_layer(sd, _join(p, "to_v_lora")),
+        "to_out_lora": lora_layer(sd, _join(p, "to_out_lora")),
+    }
+
+
+def consistent_ip_att_processor(sd, p: str):
+    """LoRA + decoupled-IP cross-attn processor params (attention.py:177-205)."""
+    out = consistent_att_processor(sd, p)
+    out["to_k_ip"] = linear(sd, _join(p, "to_k_ip"), bias=False)
+    out["to_v_ip"] = linear(sd, _join(p, "to_v_ip"), bias=False)
+    return out

@@ -1,0 +1,141 @@
+"""Pallas TPU flash attention (blockwise online-softmax).
+
+This is the TPU-native replacement for the reference's xformers
+memory_efficient_attention / F.scaled_dot_product_attention fast paths
+(reference attention.py:152-158,259,272). The UNet self-attention at 512px
+runs Sq = Sk = 4096 with head_dim 40; at SDXL resolutions Sk reaches ~17k —
+materializing (Sq, Sk) probs in fp32 blows past VMEM, so we do the standard
+streaming-softmax accumulation over key blocks.
+
+Layout notes (TPU):
+  - head_dim is zero-padded to a multiple of 128 (lane dimension); zero pad on
+    q/k leaves logits unchanged, zero pad on v yields zero columns we slice off.
+  - grid = (batch*heads, q_blocks); full K/V for one head live in VMEM
+    (worst case 4096 x 256 x 2B x 2 = 4 MB, fits the ~16 MB budget).
+  - softmax statistics are fp32; the q @ k and p @ v matmuls accumulate fp32
+    on the MXU via preferred_element_type.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float,
+                  kv_len: int):
+    """One (head, q-block) program: stream K/V blocks with online softmax.
+
+    q_ref: (1, block_q, d)  k_ref/v_ref: (1, padded_kv, d)  o_ref: (1, block_q, d)
+    kv_len is the true (unpadded) key length — static at trace time.
+    """
+    q = q_ref[0].astype(jnp.float32) * sm_scale          # (bq, d)
+    block_q, d = q.shape
+    padded_kv = k_ref.shape[1]
+    num_kb = padded_kv // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (bq, bk)
+        if padded_kv != kv_len:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col + i * block_k < kv_len, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)        # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                            # (bq, bk)
+        alpha = jnp.exp(m_prev - m_new)                   # (bq, 1)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (bq, d)
+        acc = acc * alpha + pv
+        return acc, m_new, l_new
+
+    init = (
+        jnp.zeros((block_q, d), jnp.float32),
+        jnp.full((block_q, 1), NEG_INF, jnp.float32),
+        jnp.zeros((block_q, 1), jnp.float32),
+    )
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, init)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    sm_scale: float | None = None,
+    *,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-head attention, shapes (B, H, S, D) -> (B, H, Sq, D).
+
+    No mask support: ConsistentID attention is always full/bidirectional with
+    static shapes (text context is padded to 77+num_ip tokens *before* the
+    kernel; key padding added here for tile alignment is masked internally).
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+    d_p = _round_up(d, 128)
+
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
+    qf = qf.reshape(b * h, sq_p, d_p)
+    kf = kf.reshape(b * h, sk_p, d_p)
+    vf = vf.reshape(b * h, sk_p, d_p)
+
+    grid = (b * h, sq_p // block_q)
+    kernel = functools.partial(
+        _flash_kernel, block_k=block_k, sm_scale=sm_scale, kv_len=sk)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d_p), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_p * sk_p * d_p,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * sq_p * sk_p,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    return out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]

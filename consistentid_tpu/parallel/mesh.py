@@ -1,0 +1,56 @@
+"""Device mesh + sharding helpers.
+
+The reference's entire distributed story is NCCL data-parallelism via
+accelerate (reference train_bash.sh:1-8, train.py:209) plus a dormant SyncBN
+all-reduce (models/BiSeNet/modules/functions.py:163-184). TPU-natively that
+whole surface is: a jax.sharding.Mesh with a `data` axis, shard_map-decorated
+steps, and XLA collectives over ICI. This module owns mesh construction and
+the canonical sharding rules.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a (data, model) mesh. Defaults to all devices on the data axis.
+
+    Single-slice TPU: both axes ride ICI. Multi-slice: keep `model` within a
+    slice so tensor collectives stay on ICI and only data-parallel gradient
+    reductions cross DCN.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device_put a pytree of host arrays with batch-dim sharding."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )
