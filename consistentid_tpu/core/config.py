@@ -39,6 +39,7 @@ class UNetConfig:
     # which down blocks carry transformer (cross-attn) layers; mirrored for up
     down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
     transformer_layers_per_block: Tuple[int, ...] = (1, 1, 1, 0)
+    mid_transformer_depth: int = 1
     num_attention_heads: Tuple[int, ...] = (8, 8, 8, 8)
     cross_attention_dim: int = 768
     norm_num_groups: int = 32
@@ -79,6 +80,7 @@ def sdxl_unet_config(**overrides) -> UNetConfig:
         block_out_channels=(320, 640, 1280),
         down_block_has_attn=(False, True, True),
         transformer_layers_per_block=(0, 2, 10),
+        mid_transformer_depth=10,
         num_attention_heads=(5, 10, 20),
         cross_attention_dim=2048,
         addition_embed_type="text_time",

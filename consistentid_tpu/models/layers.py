@@ -1,0 +1,273 @@
+"""Shared layers for the diffusion backbones (NHWC, TPU-first).
+
+Covers the layer vocabulary of the SD1.5/SDXL UNet and VAE the reference
+drives through diffusers (reference pipline_StableDiffusion_ConsistentID.py
+loads them at :41-57; adapters hook their attention at :152-174). Everything
+here is written against the published Stable Diffusion architecture, laid out
+NHWC so convolutions map directly onto TPU's preferred layout.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention, merge_heads, split_heads
+
+GN_EPS = 1e-5          # resnet / conv-out group norms
+GN_EPS_TRANSFORMER = 1e-6  # transformer input group norm
+LN_EPS = 1e-5
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep features, (B,) -> (B, dim). fp32 throughout."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer SiLU MLP lifting sinusoidal features to the time-embed dim."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+    use_time_emb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jax.Array] = None):
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS,
+                         dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS,
+                         dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class LoRADelta(nn.Module):
+    """Rank-decomposed delta, diffusers LoRALinearLayer semantics: zero-init
+    up-projection, N(0, 1/rank) down-projection, applied additively with an
+    external scale (reference attention.py:105-108,138)."""
+
+    out_features: int
+    rank: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        down = nn.Dense(
+            self.rank, use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(stddev=1.0 / self.rank),
+            name="down")(x)
+        return nn.Dense(self.out_features, use_bias=False, dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros, name="up")(down)
+
+
+class Attention(nn.Module):
+    """UNet attention with optional LoRA (all four projections) and the
+    decoupled IP-adapter branch on the last `ip_num_tokens` context tokens
+    (reference attention.py:90-294 re-expressed functionally).
+
+    When `capture_probs=True` the fp32 base-attention softmax is sown into the
+    'intermediates' collection under 'attn_probs' — the functional replacement
+    for the reference's get_attention_scores monkey-patch
+    (reference functions.py:263-299).
+    """
+
+    query_dim: int
+    heads: int
+    context_dim: Optional[int] = None   # None = self-attention
+    lora_rank: int = 0
+    ip_num_tokens: int = 0              # only meaningful for cross-attn
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, lora_scale: float = 1.0,
+                 ip_scale: float = 1.0, capture_probs: bool = False):
+        inner = self.query_dim
+        is_cross = context is not None
+        ctx = context if is_cross else x
+        ip_ctx = None
+        if is_cross and self.ip_num_tokens > 0:
+            end = ctx.shape[1] - self.ip_num_tokens
+            ctx, ip_ctx = ctx[:, :end, :], ctx[:, end:, :]
+
+        def proj(name, inp, features):
+            y = nn.Dense(features, use_bias=False, dtype=self.dtype,
+                         name=name)(inp)
+            if self.lora_rank > 0:
+                y = y + lora_scale * LoRADelta(
+                    features, self.lora_rank, dtype=self.dtype,
+                    name=f"{name}_lora")(inp)
+            return y
+
+        q = proj("to_q", x, inner)
+        k = proj("to_k", ctx, inner)
+        v = proj("to_v", ctx, inner)
+
+        qh, kh, vh = (split_heads(t, self.heads) for t in (q, k, v))
+        if capture_probs:
+            out, probs = dot_product_attention(qh, kh, vh, return_probs=True)
+            self.sow("intermediates", "attn_probs", probs)
+        else:
+            out = dot_product_attention(qh, kh, vh)
+        out = merge_heads(out)
+
+        if ip_ctx is not None:
+            ip_k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_k_ip")(ip_ctx)
+            ip_v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_v_ip")(ip_ctx)
+            ip_out = dot_product_attention(
+                split_heads(q, self.heads), split_heads(ip_k, self.heads),
+                split_heads(ip_v, self.heads), use_flash=False)
+            out = out + ip_scale * merge_heads(ip_out)
+
+        y = nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+        if self.lora_rank > 0:
+            y = y + lora_scale * LoRADelta(
+                inner, self.lora_rank, dtype=self.dtype,
+                name="to_out_lora")(out)
+        return y
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        h = h * jax.nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    context_dim: int
+    lora_rank: int = 0
+    ip_num_tokens: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, lora_scale=1.0, ip_scale=1.0,
+                 capture_probs=False):
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.dim, self.heads, lora_rank=self.lora_rank,
+                          dtype=self.dtype, name="attn1")(
+            h, lora_scale=lora_scale)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(self.dim, self.heads, context_dim=self.context_dim,
+                          lora_rank=self.lora_rank,
+                          ip_num_tokens=self.ip_num_tokens,
+                          dtype=self.dtype, name="attn2")(
+            h, context, lora_scale=lora_scale, ip_scale=ip_scale,
+            capture_probs=capture_probs)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(x)
+        return x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer wrapping `depth` BasicTransformerBlocks.
+
+    use_linear_projection: False = 1x1 conv in/out (SD1.5),
+    True = linear in/out on flattened tokens (SDXL).
+    """
+
+    heads: int
+    context_dim: int
+    depth: int = 1
+    use_linear_projection: bool = False
+    groups: int = 32
+    lora_rank: int = 0
+    ip_num_tokens: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, lora_scale=1.0, ip_scale=1.0,
+                 capture_probs=False):
+        b, hh, ww, c = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS_TRANSFORMER,
+                         dtype=self.dtype, name="norm")(x)
+        if self.use_linear_projection:
+            h = h.reshape(b, hh * ww, c)
+            h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
+        else:
+            h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(h)
+            h = h.reshape(b, hh * ww, c)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                dim=c, heads=self.heads, context_dim=self.context_dim,
+                lora_rank=self.lora_rank, ip_num_tokens=self.ip_num_tokens,
+                dtype=self.dtype, name=f"blocks_{i}")(
+                h, context, lora_scale=lora_scale, ip_scale=ip_scale,
+                capture_probs=capture_probs)
+        if self.use_linear_projection:
+            h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+            h = h.reshape(b, hh, ww, c)
+        else:
+            h = h.reshape(b, hh, ww, c)
+            h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual

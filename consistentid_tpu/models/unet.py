@@ -1,0 +1,157 @@
+"""SD UNet (UNet2DConditionModel equivalent) in flax, NHWC, config-driven for
+both SD1.5 and SDXL layouts (core.config.sd15_unet_config / sdxl_unet_config).
+
+This is the frozen backbone the reference drives through diffusers
+(pipline_StableDiffusion_ConsistentID.py:552-557) with ConsistentID's LoRA +
+decoupled-IP attention processors installed (:152-174). Here those adapters
+are config-gated parameters of the same module (UNetConfig.lora_rank /
+ip_num_tokens), so the whole denoise step is one jit-compiled function, and
+attention-prob capture for the facial localization loss is a functional
+`capture_probs` flag (sown 'intermediates') instead of the reference's
+monkey-patch (functions.py:263-299).
+
+Localization-capture layer selection mirrors reference functions.py:266-278:
+UNET_LAYER_NAMES = [down_0, down_1, down_2, mid, up_1, up_2, up_3], a centered
+window of `localization_layers` (5 -> down_1..up_2). NOTE the reference
+captures *attn1* probs there but indexes them with text-token ids
+(SURVEY.md §2.1 quirk); we capture attn2 (cross-attention) probs, the clear
+intent inherited from FastComposer.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.config import UNetConfig
+from .layers import (Downsample, ResnetBlock, TimestepEmbedding,
+                     Transformer2D, Upsample, timestep_embedding)
+
+UNET_LAYER_NAMES = ("down_0", "down_1", "down_2", "mid", "up_1", "up_2", "up_3")
+
+
+def localization_layer_names(num_layers: int) -> Tuple[str, ...]:
+    start = (len(UNET_LAYER_NAMES) - num_layers) // 2
+    return UNET_LAYER_NAMES[start:start + num_layers]
+
+
+class UNet(nn.Module):
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,                 # (B, H, W, C) latents
+        timesteps: jax.Array,              # (B,) or scalar
+        encoder_hidden_states: jax.Array,  # (B, L(+ip), context_dim)
+        added_cond: Optional[Dict[str, jax.Array]] = None,  # SDXL text_time
+        lora_scale: float = 1.0,
+        ip_scale: float = 1.0,
+        capture_layers: Tuple[str, ...] = (),
+    ) -> jax.Array:
+        cfg = self.config
+        use_linear = cfg.addition_embed_type == "text_time"  # SDXL layout
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        # -- time (+ addition) embedding, fp32 then cast --
+        temb = timestep_embedding(timesteps, cfg.block_out_channels[0],
+                                  cfg.flip_sin_to_cos, cfg.freq_shift)
+        temb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
+                                 name="time_embedding")(
+            temb.astype(self.dtype))
+        if cfg.addition_embed_type == "text_time":
+            assert added_cond is not None, "SDXL needs text_embeds/time_ids"
+            time_ids = added_cond["time_ids"]          # (B, 6)
+            text_embeds = added_cond["text_embeds"]    # (B, pooled_dim)
+            t_emb = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim,
+                cfg.flip_sin_to_cos, cfg.freq_shift)
+            t_emb = t_emb.reshape(time_ids.shape[0], -1)
+            add_emb = jnp.concatenate(
+                [text_embeds.astype(jnp.float32), t_emb], axis=-1)
+            temb = temb + TimestepEmbedding(
+                cfg.time_embed_dim, dtype=self.dtype, name="add_embedding")(
+                add_emb.astype(self.dtype))
+
+        ctx = encoder_hidden_states.astype(self.dtype)
+        sample = sample.astype(self.dtype)
+
+        def transformer(level: int, name: str, block_name: str,
+                        depth: Optional[int] = None):
+            return Transformer2D(
+                heads=cfg.num_attention_heads[level],
+                context_dim=cfg.cross_attention_dim,
+                depth=(cfg.transformer_layers_per_block[level]
+                       if depth is None else depth),
+                use_linear_projection=use_linear,
+                groups=cfg.norm_num_groups,
+                lora_rank=cfg.lora_rank,
+                ip_num_tokens=cfg.ip_num_tokens,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        def run_transformer(tf, h, block_name):
+            return tf(h, ctx, lora_scale=lora_scale, ip_scale=ip_scale,
+                      capture_probs=block_name in capture_layers)
+
+        # -- down --
+        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                    dtype=self.dtype, name="conv_in")(sample)
+        skips = [h]
+        n_levels = len(cfg.block_out_channels)
+        for level, out_ch in enumerate(cfg.block_out_channels):
+            block_name = f"down_{level}"
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock(out_ch, groups=cfg.norm_num_groups,
+                                dtype=self.dtype,
+                                name=f"down_{level}_resnet_{j}")(h, temb)
+                if cfg.down_block_has_attn[level]:
+                    h = run_transformer(
+                        transformer(level, f"down_{level}_attn_{j}",
+                                    block_name), h, block_name)
+                skips.append(h)
+            if level < n_levels - 1:
+                h = Downsample(out_ch, dtype=self.dtype,
+                               name=f"down_{level}_downsample")(h)
+                skips.append(h)
+
+        # -- mid --
+        mid_level = n_levels - 1
+        h = ResnetBlock(cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
+                        dtype=self.dtype, name="mid_resnet_0")(h, temb)
+        h = run_transformer(
+            transformer(mid_level, "mid_attn", "mid",
+                        depth=cfg.mid_transformer_depth), h, "mid")
+        h = ResnetBlock(cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
+                        dtype=self.dtype, name="mid_resnet_1")(h, temb)
+
+        # -- up (reversed levels; up block i consumes skips of level
+        #    n_levels-1-i; diffusers up_blocks[0] is the deepest) --
+        for i in range(n_levels):
+            level = n_levels - 1 - i
+            out_ch = cfg.block_out_channels[level]
+            block_name = f"up_{i}"
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock(out_ch, groups=cfg.norm_num_groups,
+                                dtype=self.dtype,
+                                name=f"up_{i}_resnet_{j}")(h, temb)
+                if cfg.down_block_has_attn[level]:
+                    h = run_transformer(
+                        transformer(level, f"up_{i}_attn_{j}", block_name),
+                        h, block_name)
+            if i < n_levels - 1:
+                h = Upsample(out_ch, dtype=self.dtype,
+                             name=f"up_{i}_upsample")(h)
+
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                         dtype=self.dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(h)

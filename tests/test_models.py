@@ -1,0 +1,171 @@
+"""Shape/invariant tests for the flax backbones on tiny configs (SURVEY.md §4
+test plan item 3: tiny-config integration with shape/dtype/finite checks)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from consistentid_tpu.core import (CLIPTextConfig, CLIPVisionConfig,
+                                   UNetConfig, VAEConfig)
+from consistentid_tpu.models import (AutoencoderKL, CLIPTextEncoder,
+                                     CLIPVisionEncoder, UNet,
+                                     localization_layer_names)
+
+
+def tiny_unet_config(**kw):
+    base = dict(
+        block_out_channels=(32, 64, 64, 64),
+        layers_per_block=1,
+        num_attention_heads=(2, 2, 2, 2),
+        cross_attention_dim=32,
+        norm_num_groups=8,
+    )
+    base.update(kw)
+    return UNetConfig(**base)
+
+
+def tiny_sdxl_config(**kw):
+    base = dict(
+        block_out_channels=(32, 64, 64),
+        layers_per_block=1,
+        down_block_has_attn=(False, True, True),
+        transformer_layers_per_block=(0, 1, 2),
+        mid_transformer_depth=2,
+        num_attention_heads=(2, 2, 4),
+        cross_attention_dim=64,
+        norm_num_groups=8,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=8 * 6 + 16,
+    )
+    base.update(kw)
+    return UNetConfig(**base)
+
+
+def test_unet_sd15_shape_and_capture():
+    cfg = tiny_unet_config(lora_rank=4, ip_num_tokens=4)
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 32, 32, 4))
+    t = jnp.array([10, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77 + 4, 32))
+    capture = localization_layer_names(5)
+    params = model.init(rng, x, t, ctx, capture_layers=capture)
+    out, inter = model.apply(params, x, t, ctx, capture_layers=capture,
+                             mutable=["intermediates"])
+    assert out.shape == (2, 32, 32, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    flat = jax.tree_util.tree_leaves_with_path(inter["intermediates"])
+    paths = [jax.tree_util.keystr(p) for p, _ in flat]
+    # 5 capture blocks: down_1, down_2, mid, up_1, up_2; up blocks have
+    # layers_per_block+1 = 2 attn layers each here -> 7 captured tensors
+    assert len(paths) == 7, paths
+    for p in paths:
+        assert "attn2" in p
+    blocks = {p.split("_attn")[0].lstrip("['") for p in paths}
+    assert blocks == {"down_1", "down_2", "mid", "up_1", "up_2"}, blocks
+    # captured probs attend over the 77 text tokens only (IP tokens split off)
+    for _, probs in flat:
+        assert probs[0].shape[-1] == 77
+
+
+def test_unet_lora_zero_init_is_identity():
+    """LoRA up-proj is zero-init, so at init lora_scale must not change out."""
+    cfg_plain = tiny_unet_config()
+    cfg_lora = tiny_unet_config(lora_rank=4)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    t = jnp.array([3])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 32))
+    lora = UNet(cfg_lora)
+    params = lora.init(rng, x, t, ctx)
+    out1 = lora.apply(params, x, t, ctx, lora_scale=0.0)
+    out2 = lora.apply(params, x, t, ctx, lora_scale=123.0)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_unet_ip_scale_zero_matches_text_only_context():
+    cfg = tiny_unet_config(ip_num_tokens=4)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    t = jnp.array([3])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 81, 32))
+    model = UNet(cfg)
+    params = model.init(rng, x, t, ctx)
+    out_zero = model.apply(params, x, t, ctx, ip_scale=0.0)
+    # swapping the ip tokens must not matter at ip_scale 0
+    ctx2 = ctx.at[:, 77:].set(jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32)))
+    out_zero2 = model.apply(params, x, t, ctx2, ip_scale=0.0)
+    np.testing.assert_allclose(np.asarray(out_zero), np.asarray(out_zero2),
+                               atol=1e-6)
+
+
+def test_unet_sdxl_layout():
+    cfg = tiny_sdxl_config()
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    t = jnp.array([10])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 64))
+    added = {"text_embeds": jnp.ones((1, 16)),
+             "time_ids": jnp.ones((1, 6))}
+    params = model.init(rng, x, t, ctx, added_cond=added)
+    out = model.apply(params, x, t, ctx, added_cond=added)
+    assert out.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vae_roundtrip_shapes():
+    cfg = VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                    norm_num_groups=8)
+    model = AutoencoderKL(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 32, 32, 3))
+    params = model.init(rng, x)  # __call__ = decode(encode(x)): inits all
+    z = model.apply(params, x, method=AutoencoderKL.encode)
+    assert z.shape == (1, 16, 16, 4)
+    img = model.apply(params, z, method=AutoencoderKL.decode)
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_clip_text_shapes_and_pooling():
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32, intermediate_size=64,
+                         num_layers=2, num_heads=2)
+    model = CLIPTextEncoder(cfg)
+    ids = jnp.array([[5, 7, 9, 99] + [0] * 73])  # eos id 99 at pos 3
+    params = model.init(jax.random.PRNGKey(0), ids)
+    out, pooled = model.apply(params, ids, eos_token_id=99)
+    assert out.shape == (1, 77, 32)
+    assert pooled.shape == (1, 32)
+    out2, _ = model.apply(params, ids, output_hidden_state_index=-2,
+                          eos_token_id=99)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_clip_text_causality():
+    """Changing a later token must not affect earlier hidden states."""
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32, intermediate_size=64,
+                         num_layers=2, num_heads=2)
+    model = CLIPTextEncoder(cfg)
+    ids1 = jnp.array([[5, 7, 9, 11, 99] + [0] * 72])
+    ids2 = jnp.array([[5, 7, 9, 50, 99] + [0] * 72])
+    params = model.init(jax.random.PRNGKey(0), ids1)
+    o1, _ = model.apply(params, ids1, eos_token_id=99)
+    o2, _ = model.apply(params, ids2, eos_token_id=99)
+    np.testing.assert_allclose(np.asarray(o1[:, :3]), np.asarray(o2[:, :3]),
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(o1[:, 3]), np.asarray(o2[:, 3]))
+
+
+def test_clip_vision_shapes():
+    cfg = CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                           intermediate_size=64, num_layers=2, num_heads=2)
+    model = CLIPVisionEncoder(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 28, 28, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    post, penult = model.apply(params, x)
+    assert post.shape == (2, 5, 32)      # 1 cls + 4 patches
+    assert penult.shape == (2, 5, 32)
+    assert not np.allclose(np.asarray(post), np.asarray(penult))
