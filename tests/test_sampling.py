@@ -1,0 +1,119 @@
+"""Analytic invariants for the scheduler step plans and the scan denoiser."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from consistentid_tpu.core import SchedulerConfig
+from consistentid_tpu.sampling import (NoiseSchedule, ddim_plan, ddpm_plan,
+                                       denoise, euler_plan)
+
+
+@pytest.fixture(scope="module")
+def schedule():
+    return NoiseSchedule.create(SchedulerConfig())
+
+
+def test_ddim_exact_eps_recovers_forward_marginal(schedule):
+    """With the true eps, a DDIM step maps q(x_t|x0,eps) to q(x_prev|x0,eps)
+    exactly: x_prev = sqrt(a_prev) x0 + sqrt(1-a_prev) eps."""
+    plan = ddim_plan(schedule, 50)
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(2, 8, 8, 4).astype(np.float32)
+    eps = rng.randn(2, 8, 8, 4).astype(np.float32)
+    acp = schedule.alphas_cumprod.astype(np.float64)
+    for i in [0, 10, 49]:
+        t = int(plan.timesteps[i])
+        a_t = acp[t]
+        x_t = np.sqrt(a_t) * x0 + np.sqrt(1 - a_t) * eps
+        x_prev = plan.coef_x[i] * x_t + plan.coef_e[i] * eps
+        prev_t = t - 1000 // 50
+        a_prev = acp[prev_t] if prev_t >= 0 else acp[0]
+        want = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
+        np.testing.assert_allclose(x_prev, want, atol=1e-4)
+
+
+def test_euler_exact_eps_tracks_sigma_line(schedule):
+    """Euler in sigma-space: x = x0 + sigma*eps moves to x0 + sigma_next*eps."""
+    plan = euler_plan(schedule, 30)
+    rng = np.random.RandomState(1)
+    x0 = rng.randn(1, 4, 4, 4).astype(np.float64)
+    eps = rng.randn(1, 4, 4, 4).astype(np.float64)
+    acp = schedule.alphas_cumprod.astype(np.float64)
+    sig = lambda t: np.sqrt((1 - acp[int(t)]) / acp[int(t)])
+    for i in [0, 15, 29]:
+        s = -plan.coef_e[i:].sum()  # remaining distance to sigma=0
+        sigma_i = sig(plan.timesteps[i])
+        x = x0 + sigma_i * eps
+        x_next = plan.coef_x[i] * x + plan.coef_e[i] * eps
+        sigma_next = sigma_i + plan.coef_e[i]
+        np.testing.assert_allclose(x_next, x0 + sigma_next * eps, atol=1e-5)
+    # last step lands on sigma = 0 -> x0
+    i = 29
+    x = x0 + sig(plan.timesteps[i]) * eps
+    np.testing.assert_allclose(plan.coef_x[i] * x + plan.coef_e[i] * eps, x0,
+                               atol=1e-5)
+
+
+def test_euler_c_in_matches_init_scale(schedule):
+    """First-step model input must be x_T * init_scale * c_in = x_T / ~1."""
+    plan = euler_plan(schedule, 30)
+    # init_scale * c_in[0] == sigma-normalized input ~= 1/sqrt(1+1/sigma^2)...
+    # exact identity: init_scale = sqrt(sigma0^2+1), c_in = 1/sqrt(sigma0^2+1)
+    assert abs(plan.init_scale * plan.c_in[0] - 1.0) < 1e-5
+
+
+def test_ddpm_terminal_step_is_deterministic(schedule):
+    plan = ddpm_plan(schedule, 20)
+    assert plan.coef_n[-1] == 0.0
+    assert (plan.coef_n[:-1] > 0).all()
+
+
+def test_denoise_merge_step_switch(schedule):
+    """unet_fn echoes mean(context); merge_step decides which embeds fire."""
+    plan = ddim_plan(schedule, 4)
+
+    records = []
+
+    def unet_fn(latents, t, context, added):
+        # eps depends only on the context mean -> observable switch
+        m = jnp.mean(context, axis=(1, 2), keepdims=True)[..., None]
+        return jnp.zeros_like(latents) + m.reshape(-1, 1, 1, 1)
+
+    b, h, w, c = 1, 4, 4, 4
+    latents = jnp.zeros((b, h, w, c))
+    null_e = jnp.zeros((b, 5, 8))
+    aug_e = jnp.ones((b, 5, 8)) * 2.0
+    text_e = jnp.ones((b, 5, 8)) * -2.0
+
+    out_all_text = denoise(unet_fn, latents, null_e, aug_e, text_e, plan,
+                           jnp.float32(1.0), jnp.int32(10))
+    out_all_aug = denoise(unet_fn, latents, null_e, aug_e, text_e, plan,
+                          jnp.float32(1.0), jnp.int32(-1))
+    assert not np.allclose(np.asarray(out_all_text), np.asarray(out_all_aug))
+    # symmetric contexts -> symmetric trajectories
+    np.testing.assert_allclose(np.asarray(out_all_text),
+                               -np.asarray(out_all_aug), atol=1e-5)
+
+
+def test_denoise_with_tiny_unet(schedule):
+    from consistentid_tpu.models import UNet
+    from tests.test_models import tiny_unet_config
+
+    cfg = tiny_unet_config(ip_num_tokens=4)
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    latents = jax.random.normal(rng, (1, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 81, 32))
+    params = model.init(rng, latents, jnp.array([0]), ctx)
+
+    def unet_fn(x, t, context, added):
+        return model.apply(params, x, t, context)
+
+    plan = ddim_plan(schedule, 3)
+    out = jax.jit(
+        lambda l: denoise(unet_fn, l, ctx, ctx, ctx, plan,
+                          jnp.float32(5.0), jnp.int32(1)))(latents)
+    assert out.shape == latents.shape
+    assert np.isfinite(np.asarray(out)).all()
