@@ -1,0 +1,349 @@
+"""ConsistentID SD1.5 text-to-image pipeline, TPU-native.
+
+Equivalent surface to the reference ConsistentIDStableDiffusionPipeline
+(pipline_StableDiffusion_ConsistentID.py:33-613), restructured as
+  host prepare (strings/masks/PIL -> fixed-shape numpy)
+    -> one jitted encode+denoise+decode graph.
+
+Key idiomatic departures (SURVEY.md §7.1):
+  - all CLIP-vision work is batched into a single ViT forward of
+    [face, zero, region x 5] (7 images) instead of the reference's 12
+    sequential forwards (:181-185,202-203); the zero image's embedding is
+    shared by the unconditional branches;
+  - the 50-step CFG merge-step denoise loop is a lax.scan (sampling.denoise);
+  - the VAE decode is part of the same compiled graph.
+
+Perception inputs (face parsing labels + ArcFace embedding) are injected:
+pass `parsing_labels`/`faceid_embeds` directly, or set `face_parser` /
+`face_embedder` callables (models.bisenet / models.arcface provide them once
+their weights are converted). A missing face embed falls back to zeros like
+the reference (:220-221).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..adapter import FacialEncoder, ProjPlusModel
+from ..conditioning import (masks_for_unique_values, fetch_mask_raw_image,
+                            prepare_trigger_token_idx,
+                            process_text_with_markers,
+                            tokenize_and_mask_trigger_ends)
+from ..core.config import (AdapterConfig, PipelineConfig, SchedulerConfig,
+                           UNetConfig, VAEConfig, CLIPTextConfig,
+                           CLIPVisionConfig, sd15_unet_config)
+from ..models import AutoencoderKL, CLIPTextEncoder, CLIPVisionEncoder, UNet
+from ..sampling import NoiseSchedule, denoise, make_plan
+from ..utils.image import center_crop_mask, clip_preprocess, postprocess_to_uint8
+
+FACE_CAPTION_TEMPLATE = (
+    "The person has one face, one nose, two eyes, two ears, and one mouth.")
+KEY_REGIONS = ("Face", "Left_Ear", "Right_Ear", "Left_Eye", "Right_Eye",
+               "Nose", "Upper_Lip", "Lower_Lip")
+MAX_CAPTION_CHARS = 330
+
+
+def select_key_regions(parsing_mask_list: Dict) -> Dict:
+    """Keep Face/Nose plus the first of each Ear/Eye/Lip pair (<=5 regions),
+    reproducing reference get_prepare_facemask (:294-309)."""
+    out, seen = {}, set()
+    for key, mask in parsing_mask_list.items():
+        if key not in KEY_REGIONS:
+            continue
+        if "_" in key:
+            suffix = key.split("_")[1]
+            if suffix in seen:
+                continue
+            seen.add(suffix)
+        out[key] = mask
+    return out
+
+
+@dataclass
+class SD15Bundle:
+    """Model definitions + their parameters for one pipeline instance."""
+
+    unet_config: UNetConfig
+    adapter_config: AdapterConfig = field(default_factory=AdapterConfig)
+    vae_config: VAEConfig = field(default_factory=VAEConfig)
+    text_config: CLIPTextConfig = field(default_factory=CLIPTextConfig)
+    vision_config: CLIPVisionConfig = field(default_factory=CLIPVisionConfig)
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self.unet = UNet(self.unet_config, dtype=self.dtype)
+        self.vae = AutoencoderKL(self.vae_config, dtype=self.dtype)
+        self.text_encoder = CLIPTextEncoder(self.text_config, dtype=self.dtype)
+        self.image_encoder = CLIPVisionEncoder(self.vision_config,
+                                               dtype=self.dtype)
+        a = self.adapter_config
+        self.proj = ProjPlusModel(
+            cross_attention_dim=a.cross_attention_dim,
+            id_embeddings_dim=a.id_embeddings_dim,
+            clip_embeddings_dim=a.clip_embeddings_dim,
+            num_tokens=a.num_id_tokens, dtype=self.dtype)
+        self.facial_encoder = FacialEncoder(
+            embedding_dim=a.clip_embeddings_dim,
+            output_dim=a.facial_output_dim,
+            embed_dim=a.cross_attention_dim, dtype=self.dtype)
+
+    @property
+    def vae_scale_factor(self) -> int:
+        return 2 ** (len(self.vae_config.block_out_channels) - 1)
+
+    def init_params(self, rng: jax.Array, latent_hw: int = 8) -> Dict:
+        """Random-init the full param bundle (tests / training-from-scratch)."""
+        a, t = self.adapter_config, self.text_config
+        keys = jax.random.split(rng, 6)
+        n_ctx = t.max_position_embeddings + a.num_id_tokens
+        dummy_latent = jnp.zeros((1, latent_hw, latent_hw,
+                                  self.unet_config.sample_channels))
+        dummy_ctx = jnp.zeros((1, n_ctx, self.unet_config.cross_attention_dim))
+        vdim = self.vision_config
+        return {
+            "unet": self.unet.init(keys[0], dummy_latent, jnp.array([0]),
+                                   dummy_ctx)["params"],
+            "vae": self.vae.init(
+                keys[1], jnp.zeros((1, latent_hw * self.vae_scale_factor,
+                                    latent_hw * self.vae_scale_factor, 3))
+            )["params"],
+            "text_encoder": self.text_encoder.init(
+                keys[2], jnp.zeros((1, t.max_position_embeddings),
+                                   jnp.int32))["params"],
+            "image_encoder": self.image_encoder.init(
+                keys[3], jnp.zeros((1, vdim.image_size, vdim.image_size, 3))
+            )["params"],
+            "proj": self.proj.init(
+                keys[4], jnp.zeros((1, a.id_embeddings_dim)),
+                jnp.zeros((1, vdim.num_tokens, a.clip_embeddings_dim))
+            )["params"],
+            "facial_encoder": self.facial_encoder.init(
+                keys[5],
+                jnp.zeros((1, t.max_position_embeddings,
+                           a.cross_attention_dim)),
+                jnp.zeros((1, a.max_num_facials, vdim.num_tokens,
+                           a.clip_embeddings_dim)),
+                jnp.zeros((1, a.max_num_facials), jnp.int32),
+                jnp.zeros((1, a.max_num_facials), bool))["params"],
+        }
+
+
+class ConsistentIDPipeline:
+    """generate(prompt, face_image, ...) -> uint8 image array."""
+
+    def __init__(
+        self,
+        bundle: SD15Bundle,
+        params: Dict,
+        tokenizer,
+        pipeline_config: Optional[PipelineConfig] = None,
+        scheduler_config: Optional[SchedulerConfig] = None,
+        face_parser: Optional[Callable] = None,    # PIL -> (H, W) label map
+        face_embedder: Optional[Callable] = None,  # PIL -> (1, 512) np
+    ):
+        self.bundle = bundle
+        self.params = params
+        self.tokenizer = tokenizer
+        if not hasattr(tokenizer, "_added") or "<|facial|>" not in getattr(
+                tokenizer, "_added", {}):
+            try:
+                tokenizer.add_tokens(["<|image|>", "<|facial|>"])
+            except Exception:
+                pass
+        self.config = pipeline_config or PipelineConfig()
+        self.schedule = NoiseSchedule.create(
+            scheduler_config or SchedulerConfig())
+        self.face_parser = face_parser
+        self.face_embedder = face_embedder
+        self._facial_token_id = tokenizer.convert_tokens_to_ids("<|facial|>")
+
+    # ---------------- host-side prepare ----------------
+
+    def _tokenize_padded(self, text: str) -> np.ndarray:
+        ids = list(self.tokenizer.encode(text))[: self.tokenizer.model_max_length]
+        ids += [self.tokenizer.pad_token_id] * (
+            self.tokenizer.model_max_length - len(ids))
+        return np.asarray(ids, np.int64)[None]
+
+    def prepare_conditioning(
+        self,
+        prompt: str,
+        face_image: Image.Image,
+        parsing_labels: Optional[np.ndarray] = None,
+        faceid_embeds: Optional[np.ndarray] = None,
+        face_caption: Optional[str] = None,
+        negative_prompt: str = "",
+        max_num_facials: int = 5,
+    ) -> Dict[str, np.ndarray]:
+        """All string/PIL/cv2 work; returns fixed-shape numpy tensors."""
+        if parsing_labels is None:
+            assert self.face_parser is not None, \
+                "pass parsing_labels or configure face_parser"
+            parsing_labels = self.face_parser(face_image)
+        if faceid_embeds is None:
+            if self.face_embedder is not None:
+                faceid_embeds = self.face_embedder(face_image)
+            else:  # no detector: zero fallback (reference :220-221)
+                faceid_embeds = np.zeros((1, 512), np.float32)
+        face_caption = face_caption or FACE_CAPTION_TEMPLATE
+
+        region_masks = select_key_regions(
+            masks_for_unique_values(parsing_labels))
+        caption_aligned, region_masks = process_text_with_markers(
+            face_caption, region_masks)
+
+        prompt_face = prompt + "Detail:" + caption_aligned
+        if len(self.tokenizer.encode(prompt_face)) > \
+                self.tokenizer.model_max_length:
+            prompt_face = "Detail:" + caption_aligned + " Caption:" + prompt
+        if len(face_caption) > MAX_CAPTION_CHARS:
+            prompt_face = prompt
+        prompt_text_only = prompt_face.replace("<|facial|>", "").replace(
+            "<|image|>", "")
+
+        clean_ids, img_mask, fac_mask = tokenize_and_mask_trigger_ends(
+            prompt_face, None, self._facial_token_id, self.tokenizer)
+        _, _, facial_idx, facial_idx_mask = prepare_trigger_token_idx(
+            img_mask, fac_mask, 1, max_num_facials)
+
+        # per-region CLIP pixels (zero-padded to max_num_facials slots)
+        size = self.bundle.vision_config.image_size
+        regions = np.zeros((max_num_facials, size, size, 3), np.float32)
+        region_mask_maps = np.zeros((max_num_facials, 512, 512), np.float32)
+        for i, (key, mask) in enumerate(region_masks.items()):
+            if i >= max_num_facials:
+                break
+            masked = fetch_mask_raw_image(face_image.convert("RGB"), mask)
+            regions[i] = clip_preprocess(masked, size)[0]
+            region_mask_maps[i] = center_crop_mask(mask, 512)
+
+        return {
+            "clean_ids": clean_ids.astype(np.int32),
+            "text_only_ids": self._tokenize_padded(prompt_text_only).astype(np.int32),
+            "negative_ids": self._tokenize_padded(negative_prompt).astype(np.int32),
+            "facial_idx": facial_idx.astype(np.int32),
+            "facial_idx_mask": facial_idx_mask,
+            "face_pixels": clip_preprocess(face_image, size).astype(np.float32),
+            "region_pixels": regions[None],          # (1, 5, S, S, 3)
+            "region_masks": region_mask_maps[None],  # (1, 5, 512, 512)
+            "faceid_embeds": faceid_embeds.astype(np.float32),
+        }
+
+    # ---------------- jitted core ----------------
+
+    def encode_embeddings(self, params, cond, ip_scale=1.0):
+        """Build (null, augmented, text_only) 81-token embedding triple."""
+        b = self.bundle
+        a = b.adapter_config
+        text_apply = functools.partial(b.text_encoder.apply,
+                                       {"params": params["text_encoder"]})
+        enc_marked, _ = text_apply(cond["clean_ids"])
+        enc_text_only, _ = text_apply(cond["text_only_ids"])
+        enc_negative, _ = text_apply(cond["negative_ids"])
+
+        # one batched ViT forward: [face, zeros, region_0..4]
+        size = b.vision_config.image_size
+        regions = cond["region_pixels"][0]                      # (5, S, S, 3)
+        vit_in = jnp.concatenate(
+            [cond["face_pixels"], jnp.zeros((1, size, size, 3),
+                                            cond["face_pixels"].dtype),
+             regions], axis=0)
+        _, penult = b.image_encoder.apply(
+            {"params": params["image_encoder"]}, vit_in)
+        face_emb, zero_emb = penult[0:1], penult[1:2]
+        region_embs = penult[2:][None]                          # (1,5,257,C)
+        zero_regions = jnp.broadcast_to(
+            zero_emb[:, None], region_embs.shape)
+
+        proj_apply = functools.partial(b.proj.apply, {"params": params["proj"]})
+        faceid_tokens = proj_apply(cond["faceid_embeds"], face_emb,
+                                   shortcut=a.shortcut,
+                                   scale=a.shortcut_scale)
+        uncond_faceid_tokens = proj_apply(
+            jnp.zeros_like(cond["faceid_embeds"]), zero_emb,
+            shortcut=a.shortcut, scale=a.shortcut_scale)
+
+        fe_apply = functools.partial(b.facial_encoder.apply,
+                                     {"params": params["facial_encoder"]})
+        fused = fe_apply(enc_marked, region_embs, cond["facial_idx"],
+                         cond["facial_idx_mask"])
+        uncond_fused = fe_apply(enc_negative, zero_regions,
+                                cond["facial_idx"], cond["facial_idx_mask"])
+
+        augmented = jnp.concatenate([fused, faceid_tokens], axis=1)
+        null = jnp.concatenate([uncond_fused, uncond_faceid_tokens], axis=1)
+        text_only = jnp.concatenate([enc_text_only, faceid_tokens], axis=1)
+        return null, augmented, text_only
+
+    def _generate_core(self, params, cond, latents, guidance_scale,
+                       start_merge_step, num_steps, scheduler, ip_scale,
+                       lora_scale):
+        null_e, aug_e, text_e = self.encode_embeddings(params, cond)
+        plan = make_plan(self.schedule, scheduler, num_steps)
+
+        def unet_fn(x, t, context, added):
+            return self.bundle.unet.apply(
+                {"params": params["unet"]}, x, t, context,
+                added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale)
+
+        final = denoise(unet_fn, latents, null_e, aug_e, text_e, plan,
+                        guidance_scale, start_merge_step)
+        images = self.bundle.vae.apply(
+            {"params": params["vae"]}, final, method=AutoencoderKL.decode)
+        return images
+
+    def generate(
+        self,
+        prompt: str,
+        face_image: Image.Image,
+        negative_prompt: str = "",
+        seed: int = 0,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        start_merge_step: Optional[int] = None,
+        scheduler: Optional[str] = None,
+        ip_scale: float = 1.0,
+        lora_scale: float = 1.0,
+        parsing_labels: Optional[np.ndarray] = None,
+        faceid_embeds: Optional[np.ndarray] = None,
+        return_latents: bool = False,
+    ) -> np.ndarray:
+        cfg = self.config
+        height = height or cfg.height
+        width = width or cfg.width
+        num_steps = num_inference_steps or cfg.num_inference_steps
+        scheduler = scheduler or cfg.scheduler
+
+        cond = self.prepare_conditioning(
+            prompt, face_image, parsing_labels=parsing_labels,
+            faceid_embeds=faceid_embeds, negative_prompt=negative_prompt)
+        cond = {k: jnp.asarray(v) for k, v in cond.items()}
+
+        sf = self.bundle.vae_scale_factor
+        latents = jax.random.normal(
+            jax.random.PRNGKey(seed), (1, height // sf, width // sf,
+                                       self.bundle.unet_config.sample_channels),
+            jnp.float32)
+
+        core = jax.jit(
+            self._generate_core,
+            static_argnames=("num_steps", "scheduler", "ip_scale",
+                             "lora_scale"))
+        images = core(
+            self.params, cond, latents,
+            jnp.float32(guidance_scale if guidance_scale is not None
+                        else cfg.guidance_scale),
+            jnp.int32(start_merge_step if start_merge_step is not None
+                      else cfg.start_merge_step),
+            num_steps, scheduler, ip_scale, lora_scale)
+        if return_latents:
+            return np.asarray(images)
+        return postprocess_to_uint8(np.asarray(images))

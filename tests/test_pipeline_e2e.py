@@ -1,0 +1,110 @@
+"""End-to-end SD1.5 ConsistentID pipeline on tiny random-weight configs:
+prompt + face image + parsing labels -> image (SURVEY.md §4 plan item 3)."""
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from consistentid_tpu.conditioning import SimpleTokenizer
+from consistentid_tpu.core import (AdapterConfig, CLIPTextConfig,
+                                   CLIPVisionConfig, PipelineConfig,
+                                   UNetConfig, VAEConfig)
+from consistentid_tpu.pipelines import ConsistentIDPipeline, SD15Bundle
+
+
+def tiny_bundle():
+    return SD15Bundle(
+        unet_config=UNetConfig(
+            block_out_channels=(32, 32, 64, 64),
+            layers_per_block=1,
+            num_attention_heads=(2, 2, 2, 2),
+            cross_attention_dim=64,
+            norm_num_groups=8,
+            lora_rank=4,
+            ip_num_tokens=4,
+        ),
+        adapter_config=AdapterConfig(
+            cross_attention_dim=64,
+            id_embeddings_dim=16,
+            clip_embeddings_dim=32,
+            num_id_tokens=4,
+            facial_dim=64,
+            facial_depth=2,
+            facial_heads=2,
+            facial_output_dim=64,
+            lora_rank=4,
+        ),
+        vae_config=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                             norm_num_groups=8),
+        text_config=CLIPTextConfig(hidden_size=64, intermediate_size=128,
+                                   num_layers=2, num_heads=2),
+        vision_config=CLIPVisionConfig(image_size=28, patch_size=14,
+                                       hidden_size=32, intermediate_size=64,
+                                       num_layers=2, num_heads=2),
+    )
+
+
+def synthetic_face_inputs():
+    rng = np.random.RandomState(0)
+    face = Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8))
+    labels = np.zeros((64, 64), np.uint8)
+    labels[10:40, 10:50] = 1    # Face
+    labels[15:20, 15:25] = 4    # Left_Eye
+    labels[15:20, 35:45] = 5    # Right_Eye
+    labels[25:30, 28:34] = 10   # Nose
+    labels[33:37, 24:38] = 12   # Upper_Lip
+    return face, labels
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    tok = SimpleTokenizer()
+    return ConsistentIDPipeline(
+        bundle, params, tok,
+        pipeline_config=PipelineConfig(height=32, width=32,
+                                       num_inference_steps=3,
+                                       start_merge_step=1))
+
+
+def test_prepare_conditioning_shapes(pipeline):
+    face, labels = synthetic_face_inputs()
+    cond = pipeline.prepare_conditioning(
+        "a photo of a man with a strong face, blue eyes and sharp nose",
+        face, parsing_labels=labels)
+    assert cond["clean_ids"].shape == (1, 77)
+    assert cond["text_only_ids"].shape == (1, 77)
+    assert cond["facial_idx"].shape == (1, 5)
+    # face caption mentions all five keywords; parsing has face/eyes/nose/mouth
+    assert cond["facial_idx_mask"].sum() >= 3
+    assert cond["region_pixels"].shape == (1, 5, 28, 28, 3)
+    assert cond["faceid_embeds"].shape == (1, 512) or \
+        cond["faceid_embeds"].shape == (1, 16)
+
+
+def test_generate_end_to_end(pipeline):
+    face, labels = synthetic_face_inputs()
+    faceid = np.random.RandomState(1).randn(1, 16).astype(np.float32)
+    img = pipeline.generate(
+        "portrait photo of a man with a strong face and blue eyes",
+        face, parsing_labels=labels, faceid_embeds=faceid, seed=3)
+    assert img.shape == (1, 32, 32, 3)
+    assert img.dtype == np.uint8
+    # different merge steps produce different images (conditioning switch)
+    img2 = pipeline.generate(
+        "portrait photo of a man with a strong face and blue eyes",
+        face, parsing_labels=labels, faceid_embeds=faceid, seed=3,
+        start_merge_step=2)
+    assert not np.array_equal(img, img2)
+
+
+def test_generate_deterministic(pipeline):
+    face, labels = synthetic_face_inputs()
+    faceid = np.zeros((1, 16), np.float32)
+    kw = dict(parsing_labels=labels, faceid_embeds=faceid, seed=7)
+    a = pipeline.generate("a man with a face", face, **kw)
+    b = pipeline.generate("a man with a face", face, **kw)
+    np.testing.assert_array_equal(a, b)
