@@ -1,0 +1,212 @@
+"""Data-parallel ConsistentID adapter training step (shard_map over ICI).
+
+TPU-native replacement for the reference's accelerate/NCCL DDP loop
+(train.py:93-292): one jit-compiled step under shard_map on a (data,) mesh —
+VAE encode, CLIP encodes, adapter forward, UNet with attention-prob capture,
+3-term loss, psum-mean gradients, optax AdamW on the trainable subtree only
+(proj + facial encoder + the UNet's LoRA/IP parameters; everything else
+frozen, train.py:120-123,181-195).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core.config import TrainConfig
+from ..models import localization_layer_names
+from ..models.vae import AutoencoderKL
+from ..sampling import NoiseSchedule
+from .losses import collect_attn_probs, localization_loss, masked_mse
+
+TRAINABLE_UNET_MARKERS = ("_lora", "to_k_ip", "to_v_ip")
+
+
+def is_trainable_path(path: Tuple[str, ...]) -> bool:
+    """proj / facial_encoder fully trainable; in the UNet only LoRA + IP
+    projections (reference train.py:182-185 'requires_grad' partition)."""
+    if path[0] in ("proj", "facial_encoder"):
+        return True
+    if path[0] == "unet":
+        return any(m in part for part in path for m in TRAINABLE_UNET_MARKERS)
+    return False
+
+
+def split_params(params: Dict) -> Tuple[Dict, Dict]:
+    flat = traverse_util.flatten_dict(params)
+    trainable = {k: v for k, v in flat.items() if is_trainable_path(k)}
+    frozen = {k: v for k, v in flat.items() if not is_trainable_path(k)}
+    return (traverse_util.unflatten_dict(trainable),
+            traverse_util.unflatten_dict(frozen))
+
+
+def merge_params(trainable: Dict, frozen: Dict) -> Dict:
+    flat = dict(traverse_util.flatten_dict(frozen))
+    flat.update(traverse_util.flatten_dict(trainable))
+    return traverse_util.unflatten_dict(flat)
+
+
+def warm_start_ip_projections(unet_params: Dict) -> Dict:
+    """Initialize each cross-attention's to_k_ip/to_v_ip from its own
+    to_k/to_v (reference train.py:168-174)."""
+    flat = dict(traverse_util.flatten_dict(unet_params))
+    for key in list(flat):
+        if key[-2] == "to_k_ip":
+            src = key[:-2] + ("to_k", key[-1])
+            if src in flat:
+                flat[key] = flat[src]
+        elif key[-2] == "to_v_ip":
+            src = key[:-2] + ("to_v", key[-1])
+            if src in flat:
+                flat[key] = flat[src]
+    return traverse_util.unflatten_dict(flat)
+
+
+class TrainState(NamedTuple):
+    trainable: Dict
+    frozen: Dict
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    return optax.adamw(
+        learning_rate=config.learning_rate,
+        b1=config.adam_b1, b2=config.adam_b2, eps=config.adam_eps,
+        weight_decay=config.weight_decay)
+
+
+def create_train_state(params: Dict, config: TrainConfig) -> TrainState:
+    trainable, frozen = split_params(params)
+    opt = make_optimizer(config)
+    return TrainState(trainable=trainable, frozen=frozen,
+                      opt_state=opt.init(trainable),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def consistentid_loss(
+    params: Dict,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    *,
+    bundle,                      # pipelines.SD15Bundle
+    schedule: NoiseSchedule,
+    config: TrainConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One device's loss. batch fields (leading dim = per-device batch):
+      images         (B, H, W, 3)  in [-1, 1]
+      clean_ids      (B, 77)       marker-stripped token ids
+      face_pixels    (B, S, S, 3)  CLIP-preprocessed reference image
+      region_pixels  (B, 5, S, S, 3)
+      faceid_embeds  (B, 512)
+      facial_idx     (B, 5) int32, facial_idx_mask (B, 5) bool
+      region_masks   (B, 5, Hm, Wm) localization segmaps
+      bg_masks       (B, Hm, Wm)    WithoutBackground mask
+    """
+    rng_noise, rng_t, rng_vae, rng_mask = jax.random.split(rng, 4)
+    b = batch["images"].shape[0]
+
+    # frozen encoders (no grad -> stop_gradient keeps memory bounded)
+    latents = bundle.vae.apply({"params": params["vae"]}, batch["images"],
+                               rng_vae, method=AutoencoderKL.encode)
+    latents = jax.lax.stop_gradient(latents)
+
+    noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
+    timesteps = jax.random.randint(
+        rng_t, (b,), 0, schedule.config.num_train_timesteps)
+    noisy = schedule.add_noise(latents, noise, timesteps)
+
+    s = bundle.vision_config.image_size
+    n_regions = batch["region_pixels"].shape[1]
+    vit_in = jnp.concatenate(
+        [batch["face_pixels"],
+         batch["region_pixels"].reshape(-1, s, s, 3)], axis=0)
+    _, penult = bundle.image_encoder.apply(
+        {"params": params["image_encoder"]}, vit_in)
+    penult = jax.lax.stop_gradient(penult)
+    image_embeds = penult[:b]
+    region_embeds = penult[b:].reshape(b, n_regions, *penult.shape[1:])
+
+    prompt_embeds, _ = bundle.text_encoder.apply(
+        {"params": params["text_encoder"]}, batch["clean_ids"])
+    prompt_embeds = jax.lax.stop_gradient(prompt_embeds)
+
+    # adapters (trainable)
+    faceid_tokens = bundle.proj.apply(
+        {"params": params["proj"]}, batch["faceid_embeds"], image_embeds)
+    fused = bundle.facial_encoder.apply(
+        {"params": params["facial_encoder"]}, prompt_embeds, region_embeds,
+        batch["facial_idx"], batch["facial_idx_mask"])
+    context = jnp.concatenate([fused, faceid_tokens], axis=1)
+
+    capture = localization_layer_names(config.localization_layers)
+    eps_pred, inter = bundle.unet.apply(
+        {"params": params["unet"]}, noisy, timesteps, context,
+        capture_layers=capture, mutable=["intermediates"])
+
+    # random foreground masking (p = mask_loss_prob): when it fires, the
+    # predict loss itself is computed on masked pred/target
+    lat_h, lat_w = latents.shape[1:3]
+    bg = jax.image.resize(batch["bg_masks"].astype(jnp.float32),
+                          (b, lat_h, lat_w), method="bilinear")[..., None]
+    apply_mask = (jax.random.uniform(rng_mask, ()) <
+                  config.mask_loss_prob).astype(jnp.float32)
+    mask = apply_mask * bg + (1.0 - apply_mask)
+    predict_loss = masked_mse(eps_pred, noise, mask)
+    background_loss = masked_mse(eps_pred * bg, noise * bg)  # logged only
+
+    probs = collect_attn_probs(inter["intermediates"])
+    facial_loss = config.facial_weight * localization_loss(
+        probs, batch["region_masks"], batch["facial_idx"],
+        batch["facial_idx_mask"])
+
+    loss = predict_loss + facial_loss
+    metrics = {"loss": loss, "predict_loss": predict_loss,
+               "facial_loss": facial_loss,
+               "background_loss": background_loss}
+    return loss, metrics
+
+
+def make_train_step(bundle, schedule: NoiseSchedule, config: TrainConfig,
+                    mesh: Optional[Mesh] = None, data_axis: str = "data"):
+    """Build the jitted (optionally shard_mapped) train step."""
+    optimizer = make_optimizer(config)
+
+    def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
+        if mesh is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            return consistentid_loss(params, batch, rng, bundle=bundle,
+                                     schedule=schedule, config=config)
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.trainable)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, data_axis)
+            metrics = jax.lax.pmean(metrics, data_axis)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        return TrainState(trainable=trainable, frozen=state.frozen,
+                          opt_state=opt_state, step=state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    pspec_state = TrainState(trainable=P(), frozen=P(), opt_state=P(),
+                             step=P())
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(pspec_state, P(data_axis), P()),
+        out_specs=(pspec_state, P()),
+        check_rep=False)
+    return jax.jit(sharded)

@@ -1,0 +1,114 @@
+"""Training-step tests: loss parity for the localization loss vs the
+reference torch implementation, trainable/frozen partition, and a 2-step
+shard_map data-parallel run on the 8-device CPU mesh (SURVEY.md §4 item 4)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from consistentid_tpu.core import SchedulerConfig, TrainConfig
+from consistentid_tpu.parallel import make_mesh
+from consistentid_tpu.sampling import NoiseSchedule
+from consistentid_tpu.training import (TrainState, create_train_state,
+                                       localization_loss, make_train_step,
+                                       merge_params, split_params,
+                                       synthetic_batch,
+                                       warm_start_ip_projections)
+from tests.reference_import import import_reference, reference_available
+from tests.test_pipeline_e2e import tiny_bundle
+
+
+def test_localization_loss_parity():
+    if not reference_available():
+        pytest.skip("reference not present")
+    import torch
+    ref = import_reference("functions")
+    rng = np.random.RandomState(0)
+    b, h, q, k, n, hm = 2, 3, 16, 20, 5, 32
+    probs = rng.rand(b, h, q, k).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    segmaps = (rng.rand(b, n, hm, hm) > 0.5).astype(np.float32)
+    idx = rng.randint(0, k, (b, n)).astype(np.int64)
+    mask = np.array([[1, 1, 1, 0, 0], [1, 1, 0, 0, 0]], bool)
+
+    loss_fn = ref.BalancedL1Loss(threshold=1.0, normalize=True)
+    # reference expects (b*h, q, k) per layer in a dict
+    scores = {"layer0": torch.from_numpy(probs.reshape(b * h, q, k)),
+              "layer1": torch.from_numpy((probs * 0.5).reshape(b * h, q, k))}
+    want = ref.get_object_localization_loss(
+        scores, torch.from_numpy(segmaps), torch.from_numpy(idx),
+        torch.from_numpy(mask), loss_fn).item()
+
+    got = localization_loss(
+        [jnp.asarray(probs), jnp.asarray(probs * 0.5)], jnp.asarray(segmaps),
+        jnp.asarray(idx), jnp.asarray(mask))
+    np.testing.assert_allclose(float(got), want, rtol=2e-3)
+
+
+def test_split_params_partition():
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    trainable, frozen = split_params(params)
+    from flax import traverse_util
+    t_keys = set(traverse_util.flatten_dict(trainable))
+    f_keys = set(traverse_util.flatten_dict(frozen))
+    assert not (t_keys & f_keys)
+    assert any(k[0] == "proj" for k in t_keys)
+    assert any(k[0] == "facial_encoder" for k in t_keys)
+    assert any("to_k_ip" in k for k in t_keys)
+    assert any("_lora" in part for k in t_keys for part in k)
+    assert not any(k[0] in ("vae", "text_encoder", "image_encoder")
+                   for k in t_keys)
+    # base unet weights frozen
+    assert any(k[0] == "unet" and "to_q" in k for k in f_keys)
+    merged = merge_params(trainable, frozen)
+    chex_equal = jax.tree_util.tree_structure(merged) == \
+        jax.tree_util.tree_structure(params)
+    assert chex_equal
+
+
+def test_warm_start_ip_projections():
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    warm = warm_start_ip_projections(params["unet"])
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(warm)
+    found = 0
+    for k, v in flat.items():
+        if k[-2] == "to_k_ip":
+            src = flat[k[:-2] + ("to_k", k[-1])]
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(src))
+            found += 1
+    assert found > 0
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_train_step_runs_and_updates(use_mesh):
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    params["unet"] = warm_start_ip_projections(params["unet"])
+    config = TrainConfig(localization_layers=5)
+    schedule = NoiseSchedule.create(SchedulerConfig())
+    mesh = make_mesh() if use_mesh else None
+    assert mesh is None or mesh.devices.size == 8
+
+    state = create_train_state(params, config)
+    step = make_train_step(bundle, schedule, config, mesh=mesh)
+    batch = synthetic_batch(batch_size=8 if use_mesh else 2, size=32,
+                            clip_size=28, id_dim=16)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    t0 = jax.tree_util.tree_leaves(state.trainable)[0]
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    state3, metrics3 = step(state2, batch, jax.random.PRNGKey(2))
+
+    for name in ("loss", "predict_loss", "facial_loss", "background_loss"):
+        assert np.isfinite(float(metrics[name])), name
+    # trainable moved, frozen untouched
+    t1 = jax.tree_util.tree_leaves(state3.trainable)[0]
+    assert not np.allclose(np.asarray(t0), np.asarray(t1))
+    f0 = jax.tree_util.tree_leaves(state.frozen)[0]
+    f1 = jax.tree_util.tree_leaves(state3.frozen)[0]
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    assert int(state3.step) == 2
