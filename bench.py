@@ -1,0 +1,94 @@
+"""Benchmark: SD1.5 ConsistentID 512px 50-step generation throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the rebuild north-star is <2 s/image (30 images/min/chip) for the
+SD1.5 512px 50-step portrait on v5e (BASELINE.md). vs_baseline is
+value / 30 (>1 = beating the target). Random weights — throughput depends
+only on architecture + shapes, not weight values.
+"""
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny config smoke mode (CI)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from consistentid_tpu.core import (AdapterConfig, PipelineConfig,
+                                       sd15_unet_config)
+    from consistentid_tpu.pipelines import ConsistentIDPipeline, SD15Bundle
+    from consistentid_tpu.conditioning import SimpleTokenizer
+
+    if args.tiny:
+        from tests.test_pipeline_e2e import tiny_bundle
+        bundle = tiny_bundle()
+        id_dim = 16
+    else:
+        bundle = SD15Bundle(
+            unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
+            adapter_config=AdapterConfig(),
+            dtype=jnp.bfloat16,
+        )
+        id_dim = 512
+
+    rng = jax.random.PRNGKey(0)
+    params = bundle.fast_random_params(rng)
+    tok = SimpleTokenizer()
+    pipe = ConsistentIDPipeline(
+        bundle, params, tok,
+        pipeline_config=PipelineConfig(
+            height=args.height, width=args.width,
+            num_inference_steps=args.steps, start_merge_step=30))
+
+    # synthetic face inputs (perception frontend benched separately)
+    from PIL import Image
+    face = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (512, 512, 3), np.uint8))
+    labels = np.zeros((512, 512), np.uint8)
+    labels[100:400, 100:400] = 1
+    labels[150:200, 150:250] = 4
+    labels[150:200, 270:370] = 5
+    labels[250:300, 230:290] = 10
+    labels[330:370, 200:320] = 12
+    faceid = np.random.RandomState(1).randn(1, id_dim).astype(np.float32)
+
+    kw = dict(parsing_labels=labels, faceid_embeds=faceid)
+    # warmup / compile
+    img = pipe.generate("portrait photo of a man with a strong face, "
+                        "blue eyes, a sharp nose and a wide mouth",
+                        face, seed=0, **kw)
+    assert np.isfinite(img.astype(np.float32)).all()
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        pipe.generate("portrait photo of a man with a strong face, "
+                      "blue eyes, a sharp nose and a wide mouth",
+                      face, seed=i + 1, **kw)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    images_per_min = 60.0 / dt
+    print(json.dumps({
+        "metric": f"SD1.5 {args.height}px {args.steps}-step ConsistentID "
+                  "images/min/chip",
+        "value": round(images_per_min, 3),
+        "unit": "images/min",
+        "vs_baseline": round(images_per_min / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

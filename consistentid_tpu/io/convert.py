@@ -160,3 +160,89 @@ def consistent_ip_att_processor(sd, p: str):
     out["to_k_ip"] = linear(sd, _join(p, "to_k_ip"), bias=False)
     out["to_v_ip"] = linear(sd, _join(p, "to_v_ip"), bias=False)
     return out
+
+
+# -- UNet attention-processor ordering ---------------------------------------
+
+def unet_attention_paths(cfg) -> list:
+    """Flax param paths of every UNet attention module, in the reference's
+    adapter_modules ModuleList order (= diffusers unet.attn_processors
+    iteration order: down_blocks, up_blocks, mid_block — torch registers
+    mid_block last because its first assignment is `None`; see
+    reference train.py:155-177, pipline_StableDiffusion_ConsistentID.py:143).
+
+    Returns [(path_tuple, is_cross), ...] where each attention contributes
+    its attn1 (self) then attn2 (cross) processor.
+    """
+    paths = []
+    n = len(cfg.block_out_channels)
+
+    def add(block, depth):
+        for k in range(depth):
+            paths.append(((*block, f"blocks_{k}", "attn1"), False))
+            paths.append(((*block, f"blocks_{k}", "attn2"), True))
+
+    for level in range(n):
+        if not cfg.down_block_has_attn[level]:
+            continue
+        for j in range(cfg.layers_per_block):
+            add((f"down_{level}_attn_{j}",),
+                cfg.transformer_layers_per_block[level])
+    for i in range(n):
+        level = n - 1 - i
+        if not cfg.down_block_has_attn[level]:
+            continue
+        for j in range(cfg.layers_per_block + 1):
+            add((f"up_{i}_attn_{j}",),
+                cfg.transformer_layers_per_block[level])
+    add(("mid_attn",), cfg.mid_transformer_depth)
+    return paths
+
+
+def adapter_processor_params(sd: Mapping[str, np.ndarray], index: int,
+                             is_cross: bool) -> Dict[str, Any]:
+    """Params of adapter_modules.{index} mapped onto our attention module's
+    LoRA (+ IP) parameter names."""
+    p = f"{index}"
+    out = {
+        "to_q_lora": lora_layer(sd, f"{p}.to_q_lora"),
+        "to_k_lora": lora_layer(sd, f"{p}.to_k_lora"),
+        "to_v_lora": lora_layer(sd, f"{p}.to_v_lora"),
+        "to_out_lora": lora_layer(sd, f"{p}.to_out_lora"),
+    }
+    if is_cross:
+        out["to_k_ip"] = linear(sd, f"{p}.to_k_ip", bias=False)
+        out["to_v_ip"] = linear(sd, f"{p}.to_v_ip", bias=False)
+    return out
+
+
+def load_consistentid_checkpoint(params: Dict, state_dict: Dict,
+                                 unet_cfg) -> Dict:
+    """Merge a reference ConsistentID checkpoint
+    ({FacialEncoder, image_proj, adapter_modules} — SD1.5 layout,
+    pipline_StableDiffusion_ConsistentID.py:141-144; the SDXL layout uses
+    image_proj_model/adapter_modules/FacialEncoder prefixes) into a params
+    bundle. Tensors must already be numpy (torch_state_dict_to_numpy).
+    """
+    from flax import traverse_util
+
+    proj_sd = state_dict.get("image_proj") or state_dict["image_proj_model"]
+    fe_sd = state_dict["FacialEncoder"]
+    ad_sd = state_dict["adapter_modules"]
+
+    new = dict(traverse_util.flatten_dict(params))
+    new.update({("proj",) + k: v for k, v in traverse_util.flatten_dict(
+        proj_plus_model(proj_sd)).items()})
+    new.update({("facial_encoder",) + k: v
+                for k, v in traverse_util.flatten_dict(
+                    facial_encoder(fe_sd)).items()})
+
+    for idx, (path, is_cross) in enumerate(unet_attention_paths(unet_cfg)):
+        proc = adapter_processor_params(ad_sd, idx, is_cross)
+        for k, v in traverse_util.flatten_dict(proc).items():
+            full = ("unet",) + path + k
+            assert full in new, f"unknown adapter target {full}"
+            assert new[full].shape == v.shape, \
+                f"{full}: {new[full].shape} vs {v.shape}"
+            new[full] = v
+    return traverse_util.unflatten_dict(new)

@@ -97,6 +97,31 @@ class SD15Bundle:
     def vae_scale_factor(self) -> int:
         return 2 ** (len(self.vae_config.block_out_channels) - 1)
 
+    def fast_random_params(self, rng: jax.Array, stddev: float = 0.02,
+                           latent_hw: int = 8) -> Dict:
+        """Shape-only init + one fused N(0, stddev) fill. Benchmarks and
+        compile checks only: semantic initializers (LoRA zero-up, norm ones)
+        are NOT applied. Avoids running six separate init graphs on a slow
+        first-compile device."""
+        shapes = jax.eval_shape(
+            functools.partial(self.init_params, latent_hw=latent_hw), rng)
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+        # one fused on-device program: a fresh fold_in per leaf, no host
+        # transfers (per-buffer transfers are slow through remote-TPU tunnels)
+        @jax.jit
+        def fill(key):
+            out = []
+            for i, s in enumerate(leaves):
+                if jnp.issubdtype(s.dtype, jnp.floating):
+                    out.append(jax.random.normal(
+                        jax.random.fold_in(key, i), s.shape, s.dtype) * stddev)
+                else:
+                    out.append(jnp.zeros(s.shape, s.dtype))
+            return treedef.unflatten(out)
+
+        return fill(rng)
+
     def init_params(self, rng: jax.Array, latent_hw: int = 8) -> Dict:
         """Random-init the full param bundle (tests / training-from-scratch)."""
         a, t = self.adapter_config, self.text_config
@@ -162,6 +187,11 @@ class ConsistentIDPipeline:
         self.face_parser = face_parser
         self.face_embedder = face_embedder
         self._facial_token_id = tokenizer.convert_tokens_to_ids("<|facial|>")
+        # jit once; a fresh jax.jit per generate() would recompile every call
+        self._core_jit = jax.jit(
+            self._generate_core,
+            static_argnames=("num_steps", "scheduler", "ip_scale",
+                             "lora_scale"))
 
     # ---------------- host-side prepare ----------------
 
@@ -333,11 +363,7 @@ class ConsistentIDPipeline:
                                        self.bundle.unet_config.sample_channels),
             jnp.float32)
 
-        core = jax.jit(
-            self._generate_core,
-            static_argnames=("num_steps", "scheduler", "ip_scale",
-                             "lora_scale"))
-        images = core(
+        images = self._core_jit(
             self.params, cond, latents,
             jnp.float32(guidance_scale if guidance_scale is not None
                         else cfg.guidance_scale),

@@ -207,6 +207,5 @@ def make_train_step(bundle, schedule: NoiseSchedule, config: TrainConfig,
     sharded = shard_map(
         step_fn, mesh=mesh,
         in_specs=(pspec_state, P(data_axis), P()),
-        out_specs=(pspec_state, P()),
-        check_rep=False)
+        out_specs=(pspec_state, P()))
     return jax.jit(sharded)

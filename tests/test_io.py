@@ -1,0 +1,139 @@
+"""Checkpoint round-trips and reference-layout adapter loading."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from consistentid_tpu.core import SchedulerConfig, TrainConfig
+from consistentid_tpu.io import convert
+from consistentid_tpu.io.checkpoint import CheckpointManager, export_adapter_numpy
+from consistentid_tpu.training import TrainState, create_train_state
+from tests.reference_import import import_reference, reference_available
+from tests.test_pipeline_e2e import tiny_bundle
+
+
+def test_orbax_save_restore_roundtrip(tmp_path):
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    state = create_train_state(params, TrainConfig())
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state)
+    assert mgr.latest_step() == 7
+
+    blank = create_train_state(params, TrainConfig())
+    restored = mgr.restore(blank)
+    assert int(restored.step) == 7
+    a = jax.tree_util.tree_leaves(state.trainable)
+    b = jax.tree_util.tree_leaves(restored.trainable)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_export_adapter_numpy():
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    state = create_train_state(params, TrainConfig())
+    flat = export_adapter_numpy(state)
+    assert any(k.startswith("proj/") for k in flat)
+    assert any(k.startswith("facial_encoder/") for k in flat)
+    assert any("to_k_ip" in k for k in flat)
+
+
+def test_unet_attention_paths_cover_all_adapter_params():
+    """Every LoRA/IP param in the UNet is reachable exactly once via the
+    ModuleList-ordered paths (needed for .bin checkpoint conversion)."""
+    from flax import traverse_util
+
+    bundle = tiny_bundle()
+    cfg = bundle.unet_config
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    paths = convert.unet_attention_paths(cfg)
+    # attn1/attn2 alternate; attn2 entries are cross
+    assert all(not c for (p, c) in paths if p[-1] == "attn1")
+    assert all(c for (p, c) in paths if p[-1] == "attn2")
+
+    flat = traverse_util.flatten_dict(params["unet"])
+    adapter_keys = {k for k in flat
+                    if any(m in part for part in k
+                           for m in ("_lora", "to_k_ip", "to_v_ip"))}
+    covered = set()
+    for path, is_cross in paths:
+        names = ["to_q_lora", "to_k_lora", "to_v_lora", "to_out_lora"]
+        sub = [(n, w) for n in names for w in ("down", "up")]
+        for n, w in sub:
+            covered.add(path + (n, w, "kernel"))
+        if is_cross:
+            covered.add(path + ("to_k_ip", "kernel"))
+            covered.add(path + ("to_v_ip", "kernel"))
+    assert covered == adapter_keys, (
+        sorted(covered - adapter_keys)[:3], sorted(adapter_keys - covered)[:3])
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_load_consistentid_checkpoint_reference_layout():
+    """Build a reference-layout .bin state dict out of the reference's own
+    torch modules (sized to the tiny config) and load it."""
+    import torch
+    ref_fn = import_reference("functions")
+    ref_att = import_reference("attention")
+    from flax import traverse_util
+
+    bundle = tiny_bundle()
+    cfg = bundle.unet_config
+    a = bundle.adapter_config
+    params = bundle.init_params(jax.random.PRNGKey(0))
+
+    torch.manual_seed(0)
+    proj = ref_fn.ProjPlusModel(
+        cross_attention_dim=a.cross_attention_dim,
+        id_embeddings_dim=a.id_embeddings_dim,
+        clip_embeddings_dim=a.clip_embeddings_dim, num_tokens=a.num_id_tokens)
+    fe = ref_att.FacialEncoder(embedding_dim=a.clip_embeddings_dim,
+                               output_dim=a.facial_output_dim,
+                               embed_dim=a.cross_attention_dim)
+
+    def level_of(path):
+        name = path[0]
+        n = len(cfg.block_out_channels)
+        if name.startswith("down_"):
+            return int(name.split("_")[1])
+        if name.startswith("up_"):
+            return n - 1 - int(name.split("_")[1])
+        return n - 1  # mid
+
+    procs = []
+    for path, is_cross in convert.unet_attention_paths(cfg):
+        hidden = cfg.block_out_channels[level_of(path)]
+        if is_cross:
+            procs.append(ref_att.Consistent_IPAttProcessor(
+                hidden_size=hidden, cross_attention_dim=cfg.cross_attention_dim,
+                rank=cfg.lora_rank))
+        else:
+            procs.append(ref_att.Consistent_AttProcessor(
+                hidden_size=hidden, cross_attention_dim=None,
+                rank=cfg.lora_rank))
+    adapter_modules = torch.nn.ModuleList(procs)
+    for p in adapter_modules.parameters():  # non-degenerate values
+        torch.nn.init.normal_(p, std=0.1)
+
+    sd = {
+        "image_proj": convert.torch_state_dict_to_numpy(proj.state_dict()),
+        "FacialEncoder": convert.torch_state_dict_to_numpy(fe.state_dict()),
+        "adapter_modules": convert.torch_state_dict_to_numpy(
+            adapter_modules.state_dict()),
+    }
+    new_params = convert.load_consistentid_checkpoint(params, sd, cfg)
+
+    # proj weights landed
+    got = traverse_util.flatten_dict(new_params["proj"])
+    want = proj.state_dict()["proj.0.weight"].numpy().T
+    np.testing.assert_allclose(np.asarray(got[("proj_0", "kernel")]), want)
+    # an IP projection landed where expected (first cross path)
+    first_cross = next(p for p, c in convert.unet_attention_paths(cfg) if c)
+    flat_unet = traverse_util.flatten_dict(new_params["unet"])
+    loaded = np.asarray(flat_unet[first_cross + ("to_k_ip", "kernel")])
+    src = adapter_modules.state_dict()["1.to_k_ip.weight"].numpy().T
+    np.testing.assert_allclose(loaded, src)
