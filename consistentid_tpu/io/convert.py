@@ -246,3 +246,119 @@ def load_consistentid_checkpoint(params: Dict, state_dict: Dict,
                 f"{full}: {new[full].shape} vs {v.shape}"
             new[full] = v
     return traverse_util.unflatten_dict(new)
+
+
+# -- BiSeNet (face_parsing.pth layout) ----------------------------------------
+
+def _bn(sd, p):
+    params = {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+    stats = {"mean": sd[f"{p}.running_mean"], "var": sd[f"{p}.running_var"]}
+    return params, stats
+
+
+def _conv_bn_relu(sd, p, out_p, out_s):
+    out_p["conv"] = conv(sd, f"{p}.conv", bias=False)
+    bn_p, bn_s = _bn(sd, f"{p}.bn")
+    out_p["bn"], out_s["bn"] = bn_p, bn_s
+
+
+def _basic_block(sd, p):
+    params, stats = {}, {}
+    params["conv1"] = conv(sd, f"{p}.conv1", bias=False)
+    params["bn1"], stats["bn1"] = _bn(sd, f"{p}.bn1")
+    params["conv2"] = conv(sd, f"{p}.conv2", bias=False)
+    params["bn2"], stats["bn2"] = _bn(sd, f"{p}.bn2")
+    if f"{p}.downsample.0.weight" in sd:
+        params["downsample_conv"] = conv(sd, f"{p}.downsample.0", bias=False)
+        params["downsample_bn"], stats["downsample_bn"] = _bn(
+            sd, f"{p}.downsample.1")
+    return params, stats
+
+
+def _arm(sd, p):
+    params, stats = {"conv": {}}, {"conv": {}}
+    _conv_bn_relu(sd, f"{p}.conv", params["conv"], stats["conv"])
+    params["conv_atten"] = conv(sd, f"{p}.conv_atten", bias=False)
+    params["bn_atten"], stats["bn_atten"] = _bn(sd, f"{p}.bn_atten")
+    return params, stats
+
+
+def _bisenet_output(sd, p):
+    params, stats = {"conv": {}}, {"conv": {}}
+    _conv_bn_relu(sd, f"{p}.conv", params["conv"], stats["conv"])
+    params["conv_out"] = conv(sd, f"{p}.conv_out", bias=False)
+    return params, stats
+
+
+def bisenet_from_torch(sd: Mapping[str, np.ndarray]):
+    """face_parsing.pth (reference BiSeNet state dict,
+    pipline_StableDiffusion_ConsistentID.py:67-71) -> (params, batch_stats)."""
+    params, stats = {"cp": {"resnet": {}}}, {"cp": {"resnet": {}}}
+    rp, rs = params["cp"]["resnet"], stats["cp"]["resnet"]
+    rp["conv1"] = conv(sd, "cp.resnet.conv1", bias=False)
+    rp["bn1"], rs["bn1"] = _bn(sd, "cp.resnet.bn1")
+    for layer in range(1, 5):
+        for i in range(2):
+            name = f"layer{layer}_{i}"
+            rp[name], rs[name] = _basic_block(
+                sd, f"cp.resnet.layer{layer}.{i}")
+    for arm in ("arm16", "arm32"):
+        params["cp"][arm], stats["cp"][arm] = _arm(sd, f"cp.{arm}")
+    for head in ("conv_head16", "conv_head32", "conv_avg"):
+        params["cp"][head], stats["cp"][head] = {}, {}
+        _conv_bn_relu(sd, f"cp.{head}", params["cp"][head],
+                      stats["cp"][head])
+    params["ffm"], stats["ffm"] = {"convblk": {}}, {"convblk": {}}
+    _conv_bn_relu(sd, "ffm.convblk", params["ffm"]["convblk"],
+                  stats["ffm"]["convblk"])
+    params["ffm"]["conv1"] = conv(sd, "ffm.conv1", bias=False)
+    params["ffm"]["conv2"] = conv(sd, "ffm.conv2", bias=False)
+    for head in ("conv_out", "conv_out16", "conv_out32"):
+        params[head], stats[head] = _bisenet_output(sd, head)
+    return params, stats
+
+
+# -- ArcFace iresnet (torch-export naming, e.g. insightface ONNX/pt) ----------
+
+def iresnet_from_torch(sd: Mapping[str, np.ndarray],
+                       layers=(3, 4, 14, 3), spatial: int = 7):
+    """ArcFace iresnet state dict (conv1/bn1/prelu/layer{i}.{j}.*/bn2/fc/
+    features naming, as preserved by torch-exported insightface packs) ->
+    (params, batch_stats) for models.arcface.IResNet.
+
+    The fc weight is permuted for NHWC flattening: torch flattens (C,H,W),
+    our model flattens (H,W,C)."""
+    params, stats = {}, {}
+    params["conv1"] = conv(sd, "conv1", bias=False)
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+    params["prelu"] = {"alpha": sd["prelu.weight"].reshape(-1)}
+    for li, n_blocks in enumerate(layers):
+        for bi in range(n_blocks):
+            p = f"layer{li + 1}.{bi}"
+            name = f"layer{li + 1}_{bi}"
+            blk_p, blk_s = {}, {}
+            blk_p["bn1"], blk_s["bn1"] = _bn(sd, f"{p}.bn1")
+            blk_p["conv1"] = conv(sd, f"{p}.conv1", bias=False)
+            blk_p["bn2"], blk_s["bn2"] = _bn(sd, f"{p}.bn2")
+            blk_p["prelu"] = {"alpha": sd[f"{p}.prelu.weight"].reshape(-1)}
+            blk_p["conv2"] = conv(sd, f"{p}.conv2", bias=False)
+            blk_p["bn3"], blk_s["bn3"] = _bn(sd, f"{p}.bn3")
+            if f"{p}.downsample.0.weight" in sd:
+                blk_p["downsample_conv"] = conv(sd, f"{p}.downsample.0",
+                                                bias=False)
+                blk_p["downsample_bn"], blk_s["downsample_bn"] = _bn(
+                    sd, f"{p}.downsample.1")
+            params[name], stats[name] = blk_p, blk_s
+    params["bn2"], stats["bn2"] = _bn(sd, "bn2")
+    # fc: (out, C*H*W) with torch CHW flatten -> NHWC HWC flatten
+    w = sd["fc.weight"]
+    out_dim = w.shape[0]
+    c = w.shape[1] // (spatial * spatial)
+    w = w.reshape(out_dim, c, spatial, spatial).transpose(2, 3, 1, 0)
+    params["fc"] = {"kernel": np.ascontiguousarray(
+        w.reshape(-1, out_dim)), "bias": sd["fc.bias"]}
+    fs_p = {"scale": sd["features.weight"], "bias": sd["features.bias"]}
+    fs_s = {"mean": sd["features.running_mean"],
+            "var": sd["features.running_var"]}
+    params["features"], stats["features"] = fs_p, fs_s
+    return params, stats
