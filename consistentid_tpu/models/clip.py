@@ -118,7 +118,9 @@ class CLIPTextEncoder(nn.Module):
         if output_hidden_state_index == -1:
             out = final
         else:
-            out = hidden_states[output_hidden_state_index + 1]
+            # hidden_states layout matches HF's tuple: [emb, layer0, ...,
+            # layerN-1]; hidden_states[-2] = input to the last layer
+            out = hidden_states[output_hidden_state_index]
         # pooled = final-LN state at the first EOS token position
         eos_pos = jnp.argmax((input_ids == eos_token_id).astype(jnp.int32),
                              axis=-1)
