@@ -39,7 +39,7 @@ from ..core.config import (AdapterConfig, PipelineConfig, SchedulerConfig,
                            UNetConfig, VAEConfig, CLIPTextConfig,
                            CLIPVisionConfig, sd15_unet_config)
 from ..models import AutoencoderKL, CLIPTextEncoder, CLIPVisionEncoder, UNet
-from ..sampling import NoiseSchedule, denoise, make_plan
+from ..sampling import CondBranch, NoiseSchedule, denoise, make_plan
 from ..utils.image import center_crop_mask, clip_preprocess, postprocess_to_uint8
 
 FACE_CAPTION_TEMPLATE = (
@@ -130,10 +130,16 @@ class SD15Bundle:
         dummy_latent = jnp.zeros((1, latent_hw, latent_hw,
                                   self.unet_config.sample_channels))
         dummy_ctx = jnp.zeros((1, n_ctx, self.unet_config.cross_attention_dim))
+        added = None
+        if self.unet_config.addition_embed_type == "text_time":
+            pooled_dim = (self.unet_config.projection_class_embeddings_input_dim
+                          - 6 * self.unet_config.addition_time_embed_dim)
+            added = {"text_embeds": jnp.zeros((1, pooled_dim)),
+                     "time_ids": jnp.zeros((1, 6))}
         vdim = self.vision_config
         return {
             "unet": self.unet.init(keys[0], dummy_latent, jnp.array([0]),
-                                   dummy_ctx)["params"],
+                                   dummy_ctx, added_cond=added)["params"],
             "vae": self.vae.init(
                 keys[1], jnp.zeros((1, latent_hw * self.vae_scale_factor,
                                     latent_hw * self.vae_scale_factor, 3))
@@ -236,6 +242,9 @@ class ConsistentIDPipeline:
             prompt_face = prompt
         prompt_text_only = prompt_face.replace("<|facial|>", "").replace(
             "<|image|>", "")
+        # recorded for dual-tokenizer variants (SDXL re-tokenizes these)
+        self._last_prompt_face = prompt_face
+        self._last_prompt_text_only = prompt_text_only
 
         clean_ids, img_mask, fac_mask = tokenize_and_mask_trigger_ends(
             prompt_face, None, self._facial_token_id, self.tokenizer)
@@ -322,8 +331,10 @@ class ConsistentIDPipeline:
                 {"params": params["unet"]}, x, t, context,
                 added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale)
 
-        final = denoise(unet_fn, latents, null_e, aug_e, text_e, plan,
-                        guidance_scale, start_merge_step)
+        final = denoise(unet_fn, latents,
+                        CondBranch(context=text_e, null=null_e),
+                        CondBranch(context=aug_e, null=null_e),
+                        plan, guidance_scale, start_merge_step)
         images = self.bundle.vae.apply(
             {"params": params["vae"]}, final, method=AutoencoderKL.decode)
         return images

@@ -1,16 +1,22 @@
 """jit-compiled CFG denoise loop with delayed ("merge-step") conditioning.
 
-Replaces the reference's per-step Python loop
-(pipline_StableDiffusion_ConsistentID.py:536-579) with one lax.scan:
+Replaces the reference's per-step Python loops
+(pipline_StableDiffusion_ConsistentID.py:536-579,
+pipline_StableDiffusionXL_ConsistentID.py:608-665) with one lax.scan:
   - per-step scheduler constants come from a SamplerPlan table,
-  - the text-only vs facial-augmented embedding switch at start_merge_step
-    (:542-549) is a jnp.where on the step index, so merge_step and
-    guidance_scale are traced scalars — one compiled graph serves any setting.
-CFG pairing matches the reference: eps = eps_uncond + g*(eps_cond - eps_uncond)
-with batch-doubled (negative, current) contexts (:537-564).
+  - the text-only vs facial-augmented conditioning switch at start_merge_step
+    is a jnp.where on the step index, so merge_step and guidance_scale are
+    traced scalars — one compiled graph serves any setting.
+
+Each conditioning branch carries its own positive AND negative embeddings
+(+ optional SDXL pooled embeds) because the SDXL variant switches all of them
+per branch (reference SDXL :619-628); SD1.5 passes the same null to both.
+CFG pairing matches the reference: batch = [negative, current], then
+eps = eps_uncond + g * (eps_cond - eps_uncond).
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Callable, Dict, Optional
 
 import jax
@@ -19,30 +25,40 @@ import jax.numpy as jnp
 from .schedulers import SamplerPlan
 
 
+@dataclass
+class CondBranch:
+    """One conditioning branch (text-only or facial-augmented)."""
+
+    context: jax.Array                 # (B, L, D) positive embeddings
+    null: jax.Array                    # (B, L, D) negative embeddings
+    pooled: Optional[jax.Array] = None       # (B, Dp) SDXL pooled positive
+    pooled_null: Optional[jax.Array] = None  # (B, Dp) SDXL pooled negative
+
+
 def denoise(
-    unet_fn: Callable,               # (latents, t, context, added_cond) -> eps
+    unet_fn: Callable,               # (latents, t, context, added) -> eps
     latents: jax.Array,              # (B, h, w, C) N(0,1) noise
-    null_embeds: jax.Array,          # (B, L, D) negative/uncond
-    augmented_embeds: jax.Array,     # (B, L, D) facial-augmented + faceid
-    text_embeds: jax.Array,          # (B, L, D) text-only + faceid
+    text_branch: CondBranch,         # used while i <= start_merge_step
+    facial_branch: CondBranch,       # used afterwards
     plan: SamplerPlan,
     guidance_scale: jax.Array,
     start_merge_step: jax.Array,
     rng: Optional[jax.Array] = None,
-    added_cond: Optional[Dict[str, jax.Array]] = None,
+    time_ids: Optional[jax.Array] = None,   # (B, 6) SDXL micro-conditioning
 ) -> jax.Array:
     """Run the full sampler; returns final latents (scaled latent space)."""
     steps = plan.stacked()                     # (T, 5)
     step_idx = jnp.arange(plan.num_steps)
     latents = latents * plan.init_scale
 
-    cond_stack = jnp.stack([text_embeds, augmented_embeds])  # (2, B, L, D)
-    if added_cond is not None:
-        # batch-doubled micro-conditioning (uncond half first, like embeds)
-        added2 = {k: jnp.concatenate([v, v], axis=0)
-                  for k, v in added_cond.items()}
-    else:
-        added2 = None
+    ctx_stack = jnp.stack([text_branch.context, facial_branch.context])
+    null_stack = jnp.stack([text_branch.null, facial_branch.null])
+    has_pooled = text_branch.pooled is not None
+    if has_pooled:
+        pooled_stack = jnp.stack([text_branch.pooled, facial_branch.pooled])
+        pooled_null_stack = jnp.stack(
+            [text_branch.pooled_null, facial_branch.pooled_null])
+        time_ids2 = jnp.concatenate([time_ids, time_ids], axis=0)
 
     needs_noise = bool((plan.coef_n != 0).any())
     if needs_noise:
@@ -51,15 +67,25 @@ def denoise(
     else:
         noise_keys = jnp.zeros((plan.num_steps, 2), jnp.uint32)
 
+    def select(i, stack):
+        w = (i <= start_merge_step).astype(stack.dtype)
+        return w * stack[0] + (1.0 - w) * stack[1]
+
     def body(x, scan_in):
         i, (t, c_in, coef_x, coef_e, coef_n), key = scan_in
-        use_text = (i <= start_merge_step).astype(cond_stack.dtype)
-        current = (use_text * cond_stack[0]
-                   + (1.0 - use_text) * cond_stack[1])
-        context = jnp.concatenate([null_embeds, current], axis=0)
+        context = jnp.concatenate(
+            [select(i, null_stack), select(i, ctx_stack)], axis=0)
+        added = None
+        if has_pooled:
+            added = {
+                "text_embeds": jnp.concatenate(
+                    [select(i, pooled_null_stack), select(i, pooled_stack)],
+                    axis=0),
+                "time_ids": time_ids2,
+            }
         latent_in = jnp.concatenate([x, x], axis=0) * c_in.astype(x.dtype)
         t_batch = jnp.broadcast_to(t, (latent_in.shape[0],))
-        eps = unet_fn(latent_in, t_batch, context, added2)
+        eps = unet_fn(latent_in, t_batch, context, added)
         eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
         eps = eps_uncond + guidance_scale.astype(eps.dtype) * (
             eps_cond - eps_uncond)

@@ -6,8 +6,8 @@ import jax
 import jax.numpy as jnp
 
 from consistentid_tpu.core import SchedulerConfig
-from consistentid_tpu.sampling import (NoiseSchedule, ddim_plan, ddpm_plan,
-                                       denoise, euler_plan)
+from consistentid_tpu.sampling import (CondBranch, NoiseSchedule, ddim_plan,
+                                       ddpm_plan, denoise, euler_plan)
 
 
 @pytest.fixture(scope="module")
@@ -87,9 +87,11 @@ def test_denoise_merge_step_switch(schedule):
     aug_e = jnp.ones((b, 5, 8)) * 2.0
     text_e = jnp.ones((b, 5, 8)) * -2.0
 
-    out_all_text = denoise(unet_fn, latents, null_e, aug_e, text_e, plan,
+    tb = CondBranch(context=text_e, null=null_e)
+    fb = CondBranch(context=aug_e, null=null_e)
+    out_all_text = denoise(unet_fn, latents, tb, fb, plan,
                            jnp.float32(1.0), jnp.int32(10))
-    out_all_aug = denoise(unet_fn, latents, null_e, aug_e, text_e, plan,
+    out_all_aug = denoise(unet_fn, latents, tb, fb, plan,
                           jnp.float32(1.0), jnp.int32(-1))
     assert not np.allclose(np.asarray(out_all_text), np.asarray(out_all_aug))
     # symmetric contexts -> symmetric trajectories
@@ -112,8 +114,9 @@ def test_denoise_with_tiny_unet(schedule):
         return model.apply(params, x, t, context)
 
     plan = ddim_plan(schedule, 3)
+    br = CondBranch(context=ctx, null=ctx)
     out = jax.jit(
-        lambda l: denoise(unet_fn, l, ctx, ctx, ctx, plan,
+        lambda l: denoise(unet_fn, l, br, br, plan,
                           jnp.float32(5.0), jnp.int32(1)))(latents)
     assert out.shape == latents.shape
     assert np.isfinite(np.asarray(out)).all()
