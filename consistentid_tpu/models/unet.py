@@ -51,6 +51,8 @@ class UNet(nn.Module):
         lora_scale: float = 1.0,
         ip_scale: float = 1.0,
         capture_layers: Tuple[str, ...] = (),
+        down_block_residuals: Optional[Tuple[jax.Array, ...]] = None,
+        mid_residual: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.config
         use_linear = cfg.addition_embed_type == "text_time"  # SDXL layout
@@ -120,6 +122,14 @@ class UNet(nn.Module):
                                name=f"down_{level}_downsample")(h)
                 skips.append(h)
 
+        # ControlNet skip/mid residual injection (diffusers semantics:
+        # each skip gets its residual; the mid output gets one more)
+        if down_block_residuals is not None:
+            assert len(down_block_residuals) == len(skips), \
+                f"{len(down_block_residuals)} residuals vs {len(skips)} skips"
+            skips = [s + r.astype(s.dtype)
+                     for s, r in zip(skips, down_block_residuals)]
+
         # -- mid --
         mid_level = n_levels - 1
         h = ResnetBlock(cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
@@ -129,6 +139,8 @@ class UNet(nn.Module):
                         depth=cfg.mid_transformer_depth), h, "mid")
         h = ResnetBlock(cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
                         dtype=self.dtype, name="mid_resnet_1")(h, temb)
+        if mid_residual is not None:
+            h = h + mid_residual.astype(h.dtype)
 
         # -- up (reversed levels; up block i consumes skips of level
         #    n_levels-1-i; diffusers up_blocks[0] is the deepest) --

@@ -326,7 +326,7 @@ class ConsistentIDPipeline:
         null_e, aug_e, text_e = self.encode_embeddings(params, cond)
         plan = make_plan(self.schedule, scheduler, num_steps)
 
-        def unet_fn(x, t, context, added):
+        def unet_fn(x, t, context, added, step_i):
             return self.bundle.unet.apply(
                 {"params": params["unet"]}, x, t, context,
                 added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale)

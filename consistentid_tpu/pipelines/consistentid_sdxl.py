@@ -151,7 +151,7 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
         text_b, facial_b = self.encode_embeddings_xl(params, cond)
         plan = make_plan(self.schedule, scheduler, num_steps)
 
-        def unet_fn(x, t, context, added):
+        def unet_fn(x, t, context, added, step_i):
             return self.bundle.unet.apply(
                 {"params": params["unet"]}, x, t, context,
                 added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale)

@@ -1,0 +1,263 @@
+"""ConsistentID inpainting and ControlNet-inpainting pipelines.
+
+Equivalents of the reference pipelines/StableDIffusionInpaint_ConsistentID.py
+(:94-389) and StableDIffusionControlNetInpaint_ConsistentID.py (:94-486):
+  - strength -> timestep truncation (:246-248): run only the last
+    int(T * strength) steps, starting from noise-perturbed image latents;
+  - masked_image = init * (mask < 0.5) (:241);
+  - 4-channel UNet path with per-step latent recomposition
+    (1-mask) * init_noised + mask * latents (:340-352), or the 9-channel
+    inpaint-UNet path via channel concat (:320-321);
+  - ControlNet residuals per step with a start/end keep schedule
+    (:363-370,:405-425), expressed as a per-step conditioning-scale table
+    folded into the same lax.scan.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..models import AutoencoderKL
+from ..models.controlnet import ControlNet
+from ..sampling import CondBranch, denoise, make_plan
+from ..sampling.schedulers import SamplerPlan
+from ..utils.image import postprocess_to_uint8, sd_image_preprocess
+from .consistentid_sd15 import ConsistentIDPipeline
+
+
+def plan_tail(plan: SamplerPlan, strength: float) -> SamplerPlan:
+    """Keep the last int(T * strength) steps (reference :246-248)."""
+    t_start = plan.num_steps - min(int(plan.num_steps * strength),
+                                   plan.num_steps)
+    return SamplerPlan(
+        timesteps=plan.timesteps[t_start:],
+        c_in=plan.c_in[t_start:],
+        coef_x=plan.coef_x[t_start:],
+        coef_e=plan.coef_e[t_start:],
+        coef_n=plan.coef_n[t_start:],
+        init_scale=plan.init_scale,
+    )
+
+
+def preprocess_mask(mask_image: Image.Image, height: int, width: int,
+                    latent_h: int, latent_w: int):
+    """Binary inpaint mask -> (pixel mask (1,H,W,1), latent mask (1,h,w,1))."""
+    m = mask_image.convert("L").resize((width, height), Image.NEAREST)
+    m = (np.asarray(m, np.float32) / 255.0 >= 0.5).astype(np.float32)
+    latent = np.asarray(Image.fromarray((m * 255).astype(np.uint8)).resize(
+        (latent_w, latent_h), Image.NEAREST), np.float32) / 255.0
+    return m[None, :, :, None], latent[None, :, :, None]
+
+
+class ConsistentIDInpaintPipeline(ConsistentIDPipeline):
+    """generate(prompt, face_image, init_image, mask_image, strength=...)."""
+
+    def _inpaint_core(self, params, cond, noise, guidance_scale,
+                      start_merge_step, num_steps, scheduler, ip_scale,
+                      lora_scale, strength, vae_rng):
+        bundle = self.bundle
+        null_e, aug_e, text_e = self.encode_embeddings(params, cond)
+        plan = plan_tail(make_plan(self.schedule, scheduler, num_steps),
+                         strength)
+        is_full_strength = strength >= 1.0
+
+        vae_apply = functools.partial(bundle.vae.apply,
+                                      {"params": params["vae"]})
+        image_latents = vae_apply(cond["init_image"], vae_rng,
+                                  method=AutoencoderKL.encode)
+        latent_mask = cond["latent_mask"]
+
+        nine_channel = bundle.unet_config.sample_channels == 9
+        if nine_channel:
+            masked_image = cond["init_image"] * (cond["pixel_mask"] < 0.5)
+            masked_latents = vae_apply(masked_image, vae_rng,
+                                       method=AutoencoderKL.encode)
+
+        # initial latents: image latents noised to the first kept timestep
+        # (pure noise when strength == 1, reference prepare_latents semantics)
+        t0 = jnp.asarray(plan.timesteps[0], jnp.int32)
+        if is_full_strength:
+            latents = noise
+        else:
+            latents = self.schedule.add_noise(
+                image_latents, noise,
+                jnp.broadcast_to(t0, (image_latents.shape[0],)))
+            # override the plan's init_scale (only meaningful for pure noise)
+            plan = dataclasses.replace(plan, init_scale=1.0)
+
+        inpaint_mask = inpaint_targets = None
+        if not nine_channel:
+            # per-step blend targets: init latents re-noised to t_{i+1};
+            # the final step blends the clean image latents (:344-352)
+            next_ts = jnp.asarray(
+                np.concatenate([plan.timesteps[1:], [0]]), jnp.int32)
+
+            def target_for(t_next, is_last):
+                noised = self.schedule.add_noise(
+                    image_latents, noise,
+                    jnp.broadcast_to(t_next, (image_latents.shape[0],)))
+                return jnp.where(is_last, image_latents, noised)
+
+            is_last = jnp.arange(plan.num_steps) == plan.num_steps - 1
+            inpaint_targets = jax.vmap(target_for)(next_ts, is_last)
+            inpaint_mask = latent_mask
+
+        def unet_fn(x, t, context, added, step_i):
+            if nine_channel:
+                m2 = jnp.concatenate([latent_mask, latent_mask], axis=0)
+                ml2 = jnp.concatenate([masked_latents, masked_latents], axis=0)
+                x = jnp.concatenate([x, m2.astype(x.dtype),
+                                     ml2.astype(x.dtype)], axis=-1)
+            return bundle.unet.apply(
+                {"params": params["unet"]}, x, t, context,
+                added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale)
+
+        final = denoise(unet_fn, latents,
+                        CondBranch(context=text_e, null=null_e),
+                        CondBranch(context=aug_e, null=null_e),
+                        plan, guidance_scale, start_merge_step,
+                        inpaint_mask=inpaint_mask,
+                        inpaint_targets=inpaint_targets)
+        return vae_apply(final, method=AutoencoderKL.decode)
+
+    def generate(self, prompt: str, face_image: Image.Image,
+                 init_image: Image.Image, mask_image: Image.Image,
+                 strength: float = 1.0, negative_prompt: str = "",
+                 seed: int = 0, height: Optional[int] = None,
+                 width: Optional[int] = None,
+                 num_inference_steps: Optional[int] = None,
+                 guidance_scale: Optional[float] = None,
+                 start_merge_step: Optional[int] = None,
+                 scheduler: Optional[str] = None, ip_scale: float = 1.0,
+                 lora_scale: float = 1.0, parsing_labels=None,
+                 faceid_embeds=None, **extra) -> np.ndarray:
+        cfg = self.config
+        height = height or cfg.height
+        width = width or cfg.width
+        num_steps = num_inference_steps or cfg.num_inference_steps
+        scheduler = scheduler or cfg.scheduler
+        sf = self.bundle.vae_scale_factor
+        lh, lw = height // sf, width // sf
+
+        cond = self.prepare_conditioning(
+            prompt, face_image, parsing_labels=parsing_labels,
+            faceid_embeds=faceid_embeds, negative_prompt=negative_prompt)
+        cond["init_image"] = sd_image_preprocess(init_image, height, width)
+        cond["pixel_mask"], cond["latent_mask"] = preprocess_mask(
+            mask_image, height, width, lh, lw)
+        cond = {k: jnp.asarray(v) for k, v in cond.items()}
+        extra_cond = self._extra_cond(cond, height, width, **extra)
+
+        rng = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(
+            rng, (1, lh, lw, self.bundle.vae_config.latent_channels),
+            jnp.float32)
+
+        if not hasattr(self, "_inpaint_jit"):
+            self._inpaint_jit = jax.jit(
+                self._inpaint_core,
+                static_argnames=("num_steps", "scheduler", "ip_scale",
+                                 "lora_scale", "strength"))
+        images = self._inpaint_jit(
+            self.params, {**cond, **extra_cond}, noise,
+            jnp.float32(guidance_scale if guidance_scale is not None
+                        else cfg.guidance_scale),
+            jnp.int32(start_merge_step if start_merge_step is not None
+                      else cfg.start_merge_step),
+            num_steps, scheduler, ip_scale, lora_scale, float(strength),
+            jax.random.fold_in(rng, 1))
+        return postprocess_to_uint8(np.asarray(images))
+
+    def _extra_cond(self, cond, height, width, **extra):
+        return {}
+
+
+class ConsistentIDControlNetInpaintPipeline(ConsistentIDInpaintPipeline):
+    """Adds per-step ControlNet residuals (control image, keep schedule).
+
+    Construct with controlnet=(ControlNet config or model) and its params in
+    params["controlnet"]. Guess mode is not yet implemented (reference
+    :389-392) — tracked for a follow-up.
+    """
+
+    def __init__(self, *args, controlnet: Optional[ControlNet] = None,
+                 controlnet_scale: float = 1.0,
+                 control_guidance_start: float = 0.0,
+                 control_guidance_end: float = 1.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.controlnet = controlnet or ControlNet(self.bundle.unet_config,
+                                                   dtype=self.bundle.dtype)
+        self.controlnet_scale = controlnet_scale
+        self.control_guidance_start = control_guidance_start
+        self.control_guidance_end = control_guidance_end
+
+    def _extra_cond(self, cond, height, width, control_image=None, **extra):
+        assert control_image is not None, "pass control_image=PIL"
+        return {"control_image":
+                jnp.asarray(sd_image_preprocess(control_image, height, width)
+                            * 0.5 + 0.5)}  # control images stay in [0,1]
+
+    def _inpaint_core(self, params, cond, noise, guidance_scale,
+                      start_merge_step, num_steps, scheduler, ip_scale,
+                      lora_scale, strength, vae_rng):
+        bundle = self.bundle
+        null_e, aug_e, text_e = self.encode_embeddings(params, cond)
+        plan = plan_tail(make_plan(self.schedule, scheduler, num_steps),
+                         strength)
+
+        vae_apply = functools.partial(bundle.vae.apply,
+                                      {"params": params["vae"]})
+        image_latents = vae_apply(cond["init_image"], vae_rng,
+                                  method=AutoencoderKL.encode)
+        latent_mask = cond["latent_mask"]
+
+        t0 = jnp.asarray(plan.timesteps[0], jnp.int32)
+        if strength >= 1.0:
+            latents = noise
+        else:
+            latents = self.schedule.add_noise(
+                image_latents, noise,
+                jnp.broadcast_to(t0, (image_latents.shape[0],)))
+            plan = dataclasses.replace(plan, init_scale=1.0)
+
+        next_ts = jnp.asarray(
+            np.concatenate([plan.timesteps[1:], [0]]), jnp.int32)
+        is_last = jnp.arange(plan.num_steps) == plan.num_steps - 1
+        inpaint_targets = jax.vmap(
+            lambda t_next, last: jnp.where(
+                last, image_latents,
+                self.schedule.add_noise(
+                    image_latents, noise,
+                    jnp.broadcast_to(t_next, (image_latents.shape[0],))))
+        )(next_ts, is_last)
+
+        # controlnet keep schedule: 1 inside [start, end] of progress
+        progress = (np.arange(plan.num_steps) + 0.5) / plan.num_steps
+        keep = ((progress >= self.control_guidance_start) &
+                (progress <= self.control_guidance_end)).astype(np.float32)
+        scale_table = jnp.asarray(keep * self.controlnet_scale)
+
+        control2 = jnp.concatenate([cond["control_image"]] * 2, axis=0)
+
+        def unet_fn(x, t, context, added, step_i):
+            down_res, mid_res = self.controlnet.apply(
+                {"params": params["controlnet"]}, x, t, context, control2,
+                conditioning_scale=scale_table[step_i], added_cond=added)
+            return bundle.unet.apply(
+                {"params": params["unet"]}, x, t, context,
+                added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale,
+                down_block_residuals=down_res, mid_residual=mid_res)
+
+        final = denoise(unet_fn, latents,
+                        CondBranch(context=text_e, null=null_e),
+                        CondBranch(context=aug_e, null=null_e),
+                        plan, guidance_scale, start_merge_step,
+                        inpaint_mask=latent_mask,
+                        inpaint_targets=inpaint_targets)
+        return vae_apply(final, method=AutoencoderKL.decode)

@@ -36,8 +36,8 @@ class CondBranch:
 
 
 def denoise(
-    unet_fn: Callable,               # (latents, t, context, added) -> eps
-    latents: jax.Array,              # (B, h, w, C) N(0,1) noise
+    unet_fn: Callable,               # (latents, t, context, added, i) -> eps
+    latents: jax.Array,              # (B, h, w, C) initial latents
     text_branch: CondBranch,         # used while i <= start_merge_step
     facial_branch: CondBranch,       # used afterwards
     plan: SamplerPlan,
@@ -45,6 +45,8 @@ def denoise(
     start_merge_step: jax.Array,
     rng: Optional[jax.Array] = None,
     time_ids: Optional[jax.Array] = None,   # (B, 6) SDXL micro-conditioning
+    inpaint_mask: Optional[jax.Array] = None,     # (B, h, w, 1) latent-res
+    inpaint_targets: Optional[jax.Array] = None,  # (T, B, h, w, C)
 ) -> jax.Array:
     """Run the full sampler; returns final latents (scaled latent space)."""
     steps = plan.stacked()                     # (T, 5)
@@ -85,7 +87,7 @@ def denoise(
             }
         latent_in = jnp.concatenate([x, x], axis=0) * c_in.astype(x.dtype)
         t_batch = jnp.broadcast_to(t, (latent_in.shape[0],))
-        eps = unet_fn(latent_in, t_batch, context, added)
+        eps = unet_fn(latent_in, t_batch, context, added, i)
         eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
         eps = eps_uncond + guidance_scale.astype(eps.dtype) * (
             eps_cond - eps_uncond)
@@ -93,6 +95,14 @@ def denoise(
         if needs_noise:
             z = jax.random.normal(key, x.shape, x.dtype)
             x_next = x_next + coef_n.astype(x.dtype) * z
+        if inpaint_mask is not None:
+            # 4-channel UNet inpainting: blend the (re-noised) init latents
+            # back outside the mask after each step (reference
+            # StableDIffusionInpaint_ConsistentID.py:340-352)
+            target = inpaint_targets[i]
+            x_next = ((1.0 - inpaint_mask).astype(x.dtype) *
+                      target.astype(x.dtype)
+                      + inpaint_mask.astype(x.dtype) * x_next)
         return x_next, None
 
     final, _ = jax.lax.scan(body, latents, (step_idx, steps, noise_keys))

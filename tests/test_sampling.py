@@ -76,7 +76,7 @@ def test_denoise_merge_step_switch(schedule):
 
     records = []
 
-    def unet_fn(latents, t, context, added):
+    def unet_fn(latents, t, context, added, step_i):
         # eps depends only on the context mean -> observable switch
         m = jnp.mean(context, axis=(1, 2), keepdims=True)[..., None]
         return jnp.zeros_like(latents) + m.reshape(-1, 1, 1, 1)
@@ -110,7 +110,7 @@ def test_denoise_with_tiny_unet(schedule):
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 81, 32))
     params = model.init(rng, latents, jnp.array([0]), ctx)
 
-    def unet_fn(x, t, context, added):
+    def unet_fn(x, t, context, added, step_i):
         return model.apply(params, x, t, context)
 
     plan = ddim_plan(schedule, 3)
