@@ -1,0 +1,228 @@
+"""FGID dataset production pipeline (reference data/FGID.sh + FGID_mask.py,
+FGID_caption.py, FGID_faceid_embeds.py, FGID_fuse_JSON.py — SURVEY.md §2.7),
+re-designed as batched TPU jobs:
+
+  mask     BiSeNet parse over the image tree in device-sized batches
+           (vs. the reference's one-image-at-a-time loop at ~1.85 img/s on a
+           3090, data/FGID_mask.py:146) -> resized copy, gray mask PNG,
+           color overlay PNG, per-image JSON stub
+  caption  facial captions; pluggable captioner callable (LLaVA runs as an
+           external service in the reference; default = fixed template, the
+           same fallback the reference inference uses)
+  faceid   ArcFace embeddings in batches -> .bin + JSON field
+  fuse     merge per-image JSONs -> JSON_all.json manifest
+
+Usage: python -m consistentid_tpu.apps.fgid mask --images DIR --out DIR ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Callable, List, Optional
+
+import numpy as np
+
+FACE_CAPTION_TEMPLATE = (
+    "The person has one face, one nose, two eyes, two ears, and one mouth.")
+
+PART_COLORS = np.array([
+    [0, 0, 0], [255, 0, 0], [255, 85, 0], [255, 170, 0], [255, 0, 85],
+    [255, 0, 170], [0, 0, 255], [85, 0, 255], [170, 0, 255], [0, 255, 85],
+    [0, 255, 0], [0, 255, 170], [85, 255, 0], [170, 255, 0], [0, 85, 255],
+    [0, 170, 255], [255, 255, 0], [255, 0, 255], [255, 85, 255],
+    [255, 255, 85],
+], np.uint8)
+
+
+def _image_paths(root: str) -> List[str]:
+    exts = (".jpg", ".jpeg", ".png", ".webp")
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.lower().endswith(exts):
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+def _json_path(out_dir: str, image_path: str) -> str:
+    stem = os.path.splitext(os.path.basename(image_path))[0]
+    return os.path.join(out_dir, "json", f"{stem}.json")
+
+
+def _update_json(out_dir: str, image_path: str, fields: dict):
+    path = _json_path(out_dir, image_path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data.update(fields)
+    with open(path, "w") as f:
+        json.dump(data, f)
+
+
+def run_mask(images_dir: str, out_dir: str, bisenet_path: str,
+             batch_size: int = 8, size: int = 512):
+    """Batched BiSeNet parsing over the image tree."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..io import convert
+    from ..io.safetensors_reader import read_checkpoint
+    from ..models.bisenet import BiSeNet
+    from ..utils.image import imagenet_preprocess
+
+    params, stats = convert.bisenet_from_torch(read_checkpoint(bisenet_path))
+    model = BiSeNet()
+    variables = {"params": params, "batch_stats": stats}
+
+    @jax.jit
+    def parse_batch(x):
+        logits, _, _ = model.apply(variables, x)
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    paths = _image_paths(images_dir)
+    for d in ("resize", "mask", "color", "json"):
+        os.makedirs(os.path.join(out_dir, d), exist_ok=True)
+
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start:start + batch_size]
+        pil_images = [Image.open(p).convert("RGB").resize(
+            (size, size), Image.BILINEAR) for p in chunk]
+        batch = np.concatenate(
+            [imagenet_preprocess(im, size) for im in pil_images])
+        # pad the tail so the jitted graph sees one static batch shape
+        pad = batch_size - len(chunk)
+        if pad:
+            batch = np.concatenate(
+                [batch, np.zeros((pad, size, size, 3), np.float32)])
+        labels = np.asarray(parse_batch(jnp.asarray(batch)))[:len(chunk)]
+        for p, im, lab in zip(chunk, pil_images, labels):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            im.save(os.path.join(out_dir, "resize", f"{stem}.png"))
+            Image.fromarray(lab).save(
+                os.path.join(out_dir, "mask", f"{stem}.png"))
+            color = PART_COLORS[np.clip(lab, 0, len(PART_COLORS) - 1)]
+            overlay = (0.4 * np.asarray(im) + 0.6 * color).astype(np.uint8)
+            Image.fromarray(overlay).save(
+                os.path.join(out_dir, "color", f"{stem}.png"))
+            _update_json(out_dir, p, {
+                "image_path": os.path.join("resize", f"{stem}.png"),
+                "parsing_mask_path": os.path.join("mask", f"{stem}.png"),
+            })
+    print(f"parsed {len(paths)} images")
+
+
+def run_caption(images_dir: str, out_dir: str,
+                captioner: Optional[Callable] = None):
+    """Caption stage; captioner(image_path) -> (caption, facial_caption).
+    Default emits the fixed template the reference inference path uses
+    (pipline_StableDiffusion_ConsistentID.py:284)."""
+    paths = _image_paths(images_dir)
+    for p in paths:
+        if captioner is not None:
+            caption, detail = captioner(p)
+        else:
+            caption, detail = "a photo of a person.", FACE_CAPTION_TEMPLATE
+        _update_json(out_dir, p, {"vqa_llva": caption,
+                                  "vqa_llva_more_face_detail": detail})
+    print(f"captioned {len(paths)} images")
+
+
+def run_faceid(images_dir: str, out_dir: str, arcface_path: str,
+               batch_size: int = 32):
+    """Batched ArcFace embeddings -> .bin files + JSON fields."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..io import convert
+    from ..io.safetensors_reader import read_checkpoint
+    from ..models.arcface import IResNet, normalized_embedding
+
+    if arcface_path.endswith(".onnx"):
+        from ..io.onnx_reader import read_onnx_initializers
+        sd = read_onnx_initializers(arcface_path)
+    else:
+        sd = read_checkpoint(arcface_path)
+    params, stats = convert.iresnet_from_torch(sd)
+    model = IResNet()
+    variables = {"params": params, "batch_stats": stats}
+
+    @jax.jit
+    def embed_batch(x):
+        return normalized_embedding(model.apply(variables, x))
+
+    os.makedirs(os.path.join(out_dir, "faceid"), exist_ok=True)
+    paths = _image_paths(images_dir)
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start:start + batch_size]
+        imgs = []
+        for p in chunk:
+            im = Image.open(p).convert("RGB")
+            w, h = im.size
+            side = min(w, h)
+            im = im.crop(((w - side) // 2, (h - side) // 2,
+                          (w + side) // 2, (h + side) // 2))
+            im = im.resize((112, 112), Image.BILINEAR)
+            imgs.append(np.asarray(im, np.float32) / 127.5 - 1.0)
+        batch = np.stack(imgs)
+        pad = batch_size - len(chunk)
+        if pad:
+            batch = np.concatenate(
+                [batch, np.zeros((pad, 112, 112, 3), np.float32)])
+        embeds = np.asarray(embed_batch(jnp.asarray(batch)))[:len(chunk)]
+        for p, e in zip(chunk, embeds):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            bin_path = os.path.join(out_dir, "faceid", f"{stem}.bin")
+            e.astype(np.float32).tofile(bin_path)
+            _update_json(out_dir, p, {
+                "faceid_path": os.path.join("faceid", f"{stem}.bin")})
+    print(f"embedded {len(paths)} images")
+
+
+def run_fuse(out_dir: str):
+    """Merge per-image JSONs into the training manifest
+    (reference data/FGID_fuse_JSON.py:16-31)."""
+    json_dir = os.path.join(out_dir, "json")
+    merged = {}
+    for name in sorted(os.listdir(json_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(json_dir, name)) as f:
+            merged[os.path.splitext(name)[0]] = json.load(f)
+    with open(os.path.join(out_dir, "JSON_all.json"), "w") as f:
+        json.dump(merged, f)
+    print(f"fused {len(merged)} entries -> JSON_all.json")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="stage", required=True)
+    for stage in ("mask", "caption", "faceid", "fuse"):
+        sp = sub.add_parser(stage)
+        if stage != "fuse":
+            sp.add_argument("--images", required=True)
+        sp.add_argument("--out", required=True)
+        if stage == "mask":
+            sp.add_argument("--bisenet", required=True)
+            sp.add_argument("--batch-size", type=int, default=8)
+        if stage == "faceid":
+            sp.add_argument("--arcface", required=True)
+            sp.add_argument("--batch-size", type=int, default=32)
+    args = p.parse_args(argv)
+
+    if args.stage == "mask":
+        run_mask(args.images, args.out, args.bisenet, args.batch_size)
+    elif args.stage == "caption":
+        run_caption(args.images, args.out)
+    elif args.stage == "faceid":
+        run_faceid(args.images, args.out, args.arcface, args.batch_size)
+    elif args.stage == "fuse":
+        run_fuse(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""CLI: single-image ConsistentID generation (reference infer.py:10-73).
+
+    python -m consistentid_tpu.apps.infer \
+        --base /path/sd15 --consistentid ConsistentID-v1.bin \
+        --image examples/face.jpg --prompt "cinematic photo, a man ..." \
+        --out out.png
+
+Defaults mirror the reference: 50 steps, start_merge_step 30, CFG 5.0,
+512x768, seed 2024 (infer.py:48-64).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", required=True, help="diffusers SD1.5 dir")
+    p.add_argument("--consistentid", default=None,
+                   help="ConsistentID-v1.bin / .safetensors")
+    p.add_argument("--image-encoder", default=None,
+                   help="CLIP ViT-H checkpoint")
+    p.add_argument("--bisenet", default=None, help="face_parsing.pth")
+    p.add_argument("--arcface", default=None, help="w600k_r50.onnx / .pt")
+    p.add_argument("--tokenizer", default=None,
+                   help="local CLIPTokenizer dir (transformers)")
+    p.add_argument("--image", required=True, help="reference face image")
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--negative-prompt", default=(
+        "monochrome, lowres, bad anatomy, worst quality, low quality, "
+        "blurry"))
+    p.add_argument("--out", default="out.png")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--guidance-scale", type=float, default=5.0)
+    p.add_argument("--start-merge-step", type=int, default=30)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--scheduler", default="euler",
+                   choices=["ddim", "euler", "ddpm"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from PIL import Image
+
+    from ..core.config import PipelineConfig
+    from ..pipelines.loading import load_sd15_consistentid
+
+    tokenizer = None
+    if args.tokenizer:
+        from transformers import CLIPTokenizer
+        tokenizer = CLIPTokenizer.from_pretrained(args.tokenizer)
+
+    pipe = load_sd15_consistentid(
+        args.base, consistentid_path=args.consistentid,
+        image_encoder_path=args.image_encoder, bisenet_path=args.bisenet,
+        arcface_path=args.arcface, tokenizer=tokenizer,
+        pipeline_config=PipelineConfig(
+            height=args.height, width=args.width,
+            num_inference_steps=args.steps,
+            guidance_scale=args.guidance_scale,
+            start_merge_step=args.start_merge_step,
+            scheduler=args.scheduler))
+
+    face = Image.open(args.image)
+    img = pipe.generate(args.prompt, face,
+                        negative_prompt=args.negative_prompt,
+                        seed=args.seed)
+    Image.fromarray(img[0]).save(args.out)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

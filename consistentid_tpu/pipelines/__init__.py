@@ -4,3 +4,4 @@ from .consistentid_sdxl import (ConsistentIDXLPipeline, SDXLBundle,
                                 sdxl_adapter_config)
 from .inpaint import (ConsistentIDControlNetInpaintPipeline,
                       ConsistentIDInpaintPipeline)
+from .loading import load_ConsistentID_model, load_sd15_consistentid

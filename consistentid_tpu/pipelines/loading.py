@@ -1,0 +1,108 @@
+"""Checkpoint assembly: build ready-to-run pipelines from local checkpoint
+files — the equivalent of the reference's load_ConsistentID_model
+(pipline_StableDiffusion_ConsistentID.py:36-150), zero-download by design
+(this environment has no network egress; the reference pulls from the HF hub).
+
+Expected inputs (all local paths):
+  base_dir/            diffusers-format SD1.5 dump with subfolders
+    unet/diffusion_pytorch_model.safetensors
+    vae/diffusion_pytorch_model.safetensors
+    text_encoder/model.safetensors
+  image_encoder/model.safetensors       CLIP ViT-H vision tower
+  ConsistentID-v1.bin                   adapter checkpoint (torch pickle or
+                                        safetensors with the reference's
+                                        {FacialEncoder,image_proj,
+                                         adapter_modules} sections)
+  face_parsing.pth                      BiSeNet weights
+  arcface (w600k_r50.onnx or .pt)       recognition backbone
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import AdapterConfig, PipelineConfig, sd15_unet_config
+from ..io import convert
+from ..io.convert_backbones import (clip_text_from_hf, clip_vision_from_hf,
+                                    unet_from_diffusers, vae_from_diffusers)
+from ..io.safetensors_reader import read_checkpoint
+from ..models.arcface import make_face_embedder
+from ..models.bisenet import make_face_parser
+from ..training.train_step import warm_start_ip_projections
+from .consistentid_sd15 import ConsistentIDPipeline, SD15Bundle
+
+
+def _subcheckpoint(base_dir: str, sub: str) -> Dict[str, np.ndarray]:
+    path = os.path.join(base_dir, sub)
+    return read_checkpoint(path)
+
+
+def load_sd15_consistentid(
+    base_dir: str,
+    consistentid_path: Optional[str] = None,
+    image_encoder_path: Optional[str] = None,
+    bisenet_path: Optional[str] = None,
+    arcface_path: Optional[str] = None,
+    tokenizer=None,
+    dtype=jnp.bfloat16,
+    lora_rank: int = 128,
+    num_tokens: int = 4,
+    pipeline_config: Optional[PipelineConfig] = None,
+) -> ConsistentIDPipeline:
+    """Assemble the SD1.5 ConsistentID pipeline from local checkpoints."""
+    bundle = SD15Bundle(
+        unet_config=sd15_unet_config(lora_rank=lora_rank,
+                                     ip_num_tokens=num_tokens),
+        adapter_config=AdapterConfig(lora_rank=lora_rank,
+                                     num_id_tokens=num_tokens),
+        dtype=dtype,
+    )
+    params = bundle.init_params(jax.random.PRNGKey(0))
+
+    params["unet"].update(unet_from_diffusers(
+        _subcheckpoint(base_dir, "unet"), bundle.unet_config))
+    params["unet"] = warm_start_ip_projections(params["unet"])
+    params["vae"] = vae_from_diffusers(
+        _subcheckpoint(base_dir, "vae"), bundle.vae_config)
+    params["text_encoder"] = clip_text_from_hf(
+        _subcheckpoint(base_dir, "text_encoder"), bundle.text_config)
+    if image_encoder_path:
+        params["image_encoder"] = clip_vision_from_hf(
+            read_checkpoint(image_encoder_path), bundle.vision_config)
+    if consistentid_path:
+        sd = read_checkpoint(consistentid_path)
+        params = convert.load_consistentid_checkpoint(
+            params, sd, bundle.unet_config)
+
+    from ..core.dtypes import cast_floating
+    params = cast_floating(params, dtype)
+
+    face_parser = face_embedder = None
+    if bisenet_path:
+        bn_params, bn_stats = convert.bisenet_from_torch(
+            read_checkpoint(bisenet_path))
+        face_parser = make_face_parser(bn_params, bn_stats)
+    if arcface_path:
+        if arcface_path.endswith(".onnx"):
+            from ..io.onnx_reader import read_onnx_initializers
+            sd = read_onnx_initializers(arcface_path)
+        else:
+            sd = read_checkpoint(arcface_path)
+        ir_params, ir_stats = convert.iresnet_from_torch(sd)
+        face_embedder = make_face_embedder(ir_params, ir_stats)
+
+    if tokenizer is None:
+        from ..conditioning import SimpleTokenizer
+        tokenizer = SimpleTokenizer()
+
+    return ConsistentIDPipeline(
+        bundle, params, tokenizer, pipeline_config=pipeline_config,
+        face_parser=face_parser, face_embedder=face_embedder)
+
+
+# discoverability alias matching the reference method name
+load_ConsistentID_model = load_sd15_consistentid

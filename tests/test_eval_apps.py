@@ -1,0 +1,96 @@
+"""Eval subsystem + FGID data-production smoke tests."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from consistentid_tpu.eval import (STYLES, SweepRow, apply_style,
+                                   face_similarity, load_sweep_csv, run_sweep)
+
+
+def test_styles_cover_reference_names():
+    # the 16 named styles + (No style), matching the reference's set
+    want = {"Mars", "Neonpunk", "Fantasy art", "Enhance", "Comic book",
+            "Lowpoly", "Line art", "Watercolor", "Vibrant Color", "Jungle",
+            "Snow", "Film Noir", "Cinematic", "Disney Charactor",
+            "Digital Art", "Photographic (Default)", "(No style)"}
+    assert set(STYLES) == want
+    pos, neg = apply_style("Cinematic", "a man wearing a red hat", "ugly")
+    assert "a man wearing a red hat" in pos
+    assert "ugly" in neg
+
+
+def test_load_sweep_csv(tmp_path):
+    csv_path = tmp_path / "sweep.csv"
+    csv_path.write_text("Image_Name,Prompt\na.png,a man\nb.png,a woman\n")
+    rows = load_sweep_csv(str(csv_path), styles=["Cinematic", "(No style)"])
+    assert len(rows) == 4
+    assert rows[0].style == "Cinematic"
+
+
+def test_reference_sweep_csv_loads():
+    path = "/root/reference/evaluation/EvaluationIMGs_stars_prompts.csv"
+    if not os.path.exists(path):
+        pytest.skip("reference csv absent")
+    rows = load_sweep_csv(path)
+    assert len(rows) == 675  # 15 identities x 45 prompts
+    assert len({r.image_name for r in rows}) == 15
+
+
+def test_face_similarity():
+    a = np.ones((1, 512))
+    assert abs(face_similarity(a, a) - 1.0) < 1e-6
+    assert abs(face_similarity(a, -a) + 1.0) < 1e-6
+
+
+def test_run_sweep_with_tiny_pipeline(tmp_path):
+    from consistentid_tpu.conditioning import SimpleTokenizer
+    from consistentid_tpu.core import PipelineConfig
+    from consistentid_tpu.pipelines import ConsistentIDPipeline
+    from tests.test_pipeline_e2e import synthetic_face_inputs, tiny_bundle
+
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    face, labels = synthetic_face_inputs()
+    pipe = ConsistentIDPipeline(
+        bundle, params, SimpleTokenizer(),
+        pipeline_config=PipelineConfig(height=32, width=32,
+                                       num_inference_steps=2,
+                                       start_merge_step=1),
+        face_parser=lambda img: labels,
+        face_embedder=lambda img: np.zeros((1, 16), np.float32))
+
+    img_root = tmp_path / "ids"
+    img_root.mkdir()
+    face.save(img_root / "id0.png")
+    rows = [SweepRow("id0.png", "a man with a face"),
+            SweepRow("id0.png", "a man with a nose", style="Cinematic")]
+    out_dir = tmp_path / "out"
+    res = run_sweep(pipe, rows, str(img_root), output_dir=str(out_dir),
+                    face_sim_scorer=lambda r, g: 0.5,
+                    clip_t_scorer=lambda p, i: 0.25)
+    assert len(res.rows) == 2
+    s = res.summary()
+    assert abs(s["mean_face_sim"] - 0.5) < 1e-6
+    assert (out_dir / "results_shard0.json").exists()
+
+
+def test_fgid_fuse(tmp_path):
+    from consistentid_tpu.apps.fgid import run_caption, run_fuse
+
+    images = tmp_path / "imgs"
+    images.mkdir()
+    for i in range(3):
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            images / f"im{i}.jpg")
+    out = tmp_path / "out"
+    run_caption(str(images), str(out))
+    run_fuse(str(out))
+    with open(out / "JSON_all.json") as f:
+        merged = json.load(f)
+    assert len(merged) == 3
+    assert "vqa_llva_more_face_detail" in merged["im0"]
