@@ -1,0 +1,145 @@
+"""CLI: ConsistentID adapter training (reference train.py + train_bash.sh).
+
+    python -m consistentid_tpu.apps.train \
+        --base /path/sd15 --image-encoder /path/vit-h.safetensors \
+        --manifest JSON_all.json --data-root /data/fgid \
+        --output-dir runs/consistentid
+
+One shard_map data-parallel step over all local devices replaces the
+accelerate --multi_gpu launcher; resume is automatic from the latest orbax
+checkpoint in --output-dir.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", required=True, help="diffusers SD1.5 dir")
+    p.add_argument("--image-encoder", default=None)
+    p.add_argument("--manifest", required=True, help="FGID JSON_all.json")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--output-dir", default="runs/consistentid")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--batch-per-device", type=int, default=2)
+    p.add_argument("--grad-accum-steps", type=int, default=1)
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-2)
+    p.add_argument("--facial-weight", type=float, default=0.01)
+    p.add_argument("--mask-loss-prob", type=float, default=0.5)
+    p.add_argument("--localization-layers", type=int, default=5)
+    p.add_argument("--lora-rank", type=int, default=128)
+    p.add_argument("--num-tokens", type=int, default=4)
+    p.add_argument("--max-steps", type=int, default=100000)
+    p.add_argument("--save-steps", type=int, default=1000)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--profile-dir", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.config import (AdapterConfig, SchedulerConfig, TrainConfig,
+                               sd15_unet_config)
+    from ..io.checkpoint import CheckpointManager
+    from ..io.convert_backbones import (clip_text_from_hf,
+                                        clip_vision_from_hf,
+                                        unet_from_diffusers,
+                                        vae_from_diffusers)
+    from ..io.safetensors_reader import read_checkpoint
+    from ..parallel import initialize_multihost, make_mesh, shard_batch
+    from ..pipelines import SD15Bundle
+    from ..sampling import NoiseSchedule
+    from ..training import (FGIDDataset, create_train_state, make_train_step,
+                            warm_start_ip_projections)
+    from ..utils.profiling import MetricsLogger, StepTimer, trace
+
+    initialize_multihost()
+    mesh = make_mesh()
+    n_devices = mesh.devices.size
+
+    config = TrainConfig(
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        batch_per_device=args.batch_per_device,
+        grad_accum_steps=args.grad_accum_steps,
+        facial_weight=args.facial_weight,
+        mask_loss_prob=args.mask_loss_prob,
+        localization_layers=args.localization_layers,
+        resolution=args.resolution, max_steps=args.max_steps,
+        save_steps=args.save_steps, seed=args.seed)
+
+    bundle = SD15Bundle(
+        unet_config=sd15_unet_config(lora_rank=args.lora_rank,
+                                     ip_num_tokens=args.num_tokens),
+        adapter_config=AdapterConfig(lora_rank=args.lora_rank,
+                                     num_id_tokens=args.num_tokens))
+    params = bundle.init_params(jax.random.PRNGKey(config.seed))
+    import os
+    params["unet"].update(unet_from_diffusers(
+        read_checkpoint(os.path.join(args.base, "unet")),
+        bundle.unet_config))
+    params["unet"] = warm_start_ip_projections(params["unet"])
+    params["vae"] = vae_from_diffusers(
+        read_checkpoint(os.path.join(args.base, "vae")), bundle.vae_config)
+    params["text_encoder"] = clip_text_from_hf(
+        read_checkpoint(os.path.join(args.base, "text_encoder")),
+        bundle.text_config)
+    if args.image_encoder:
+        params["image_encoder"] = clip_vision_from_hf(
+            read_checkpoint(args.image_encoder), bundle.vision_config)
+
+    if args.tokenizer:
+        from transformers import CLIPTokenizer
+        tokenizer = CLIPTokenizer.from_pretrained(args.tokenizer)
+        tokenizer.add_tokens(["<|image|>", "<|facial|>"])
+    else:
+        from ..conditioning import SimpleTokenizer
+        tokenizer = SimpleTokenizer()
+
+    schedule = NoiseSchedule.create(SchedulerConfig())
+    state = create_train_state(params, config)
+    ckpt = CheckpointManager(args.output_dir)
+    state = ckpt.restore(state)
+    step_fn = make_train_step(bundle, schedule, config, mesh=mesh)
+
+    dataset = FGIDDataset(args.manifest, tokenizer, size=args.resolution,
+                          image_root=args.data_root, seed=config.seed)
+    logger = MetricsLogger(args.output_dir)
+    timer = StepTimer()
+    rng = jax.random.PRNGKey(config.seed)
+    global_batch = (n_devices * config.batch_per_device
+                    * config.grad_accum_steps)
+
+    step = int(state.step)
+    for batch in dataset.batches(global_batch, epochs=args.epochs):
+        if step >= config.max_steps:
+            break
+        if config.grad_accum_steps > 1:
+            batch = {k: v.reshape(config.grad_accum_steps, -1, *v.shape[1:])
+                     for k, v in batch.items()}
+        batch = shard_batch(mesh, batch)
+        timer.data_loaded()
+        state, metrics = step_fn(state, batch,
+                                 jax.random.fold_in(rng, step))
+        jax.block_until_ready(metrics["loss"])
+        timer.step_done()
+        step = int(state.step)
+        if step % 10 == 0:
+            logger.log(step, {**{k: float(v) for k, v in metrics.items()},
+                              **timer.summary()})
+        if step % config.save_steps == 0:
+            ckpt.save(state)
+    ckpt.save(state)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,27 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize. The same shard_map
+    code then compiles to ICI collectives within a slice and DCN across
+    slices — the reference's accelerate/NCCL launcher surface
+    (train_bash.sh:1-8) reduces to this one call per host."""
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass  # single-host / already-initialized environments
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     data: Optional[int] = None,

