@@ -4,3 +4,4 @@ from .losses import (balanced_l1_loss, collect_attn_probs, localization_loss,
 from .train_step import (TrainState, consistentid_loss, create_train_state,
                          make_train_step, merge_params, split_params,
                          warm_start_ip_projections)
+from .sdxl_loss import sdxl_consistentid_loss

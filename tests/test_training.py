@@ -129,3 +129,26 @@ def test_train_step_grad_accum():
     t0 = jax.tree_util.tree_leaves(state.trainable)[0]
     t1 = jax.tree_util.tree_leaves(state2.trainable)[0]
     assert not np.allclose(np.asarray(t0), np.asarray(t1))
+
+
+def test_sdxl_train_step():
+    from consistentid_tpu.training import sdxl_consistentid_loss
+    from tests.test_pipeline_sdxl import tiny_sdxl_bundle
+
+    bundle = tiny_sdxl_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    params["unet"] = warm_start_ip_projections(params["unet"])
+    config = TrainConfig(localization_layers=3)
+    schedule = NoiseSchedule.create(SchedulerConfig())
+    state = create_train_state(params, config)
+    step = make_train_step(bundle, schedule, config, mesh=None,
+                           loss_fn_impl=sdxl_consistentid_loss)
+    batch = synthetic_batch(batch_size=2, size=32, clip_size=28, id_dim=16)
+    batch["clean_ids2"] = batch["clean_ids"].copy()
+    batch["time_ids"] = np.ones((2, 6), np.float32) * 32
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    t0 = jax.tree_util.tree_leaves(state.trainable)[0]
+    t1 = jax.tree_util.tree_leaves(state2.trainable)[0]
+    assert not np.allclose(np.asarray(t0), np.asarray(t1))
