@@ -28,6 +28,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from consistentid_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from consistentid_tpu.core import (AdapterConfig, PipelineConfig,
                                        sd15_unet_config)
     from consistentid_tpu.pipelines import ConsistentIDPipeline, SD15Bundle

@@ -74,9 +74,59 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, sm_scale):
+    return _flash_forward(q, k, v, sm_scale)
+
+
+def _flash_diff_fwd(q, k, v, sm_scale):
+    return _flash_forward(q, k, v, sm_scale), (q, k, v)
+
+
+def _flash_diff_bwd(sm_scale, res, g):
+    """Backward via standard attention recompute (XLA). The forward never
+    materializes probs; the backward recomputes them once — trading HBM for
+    FLOPs like jax.checkpoint. A fully blockwise Pallas backward is a later
+    optimization; this keeps flash usable under jax.grad today."""
+    q, k, v = res
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * sm_scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * sm_scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    sm_scale: float | None = None,
+    *,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable entry point (custom VJP: flash fwd, recompute bwd)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if interpret or block_q != 256 or block_k != 512:
+        return _flash_forward(q, k, v, sm_scale, block_q=block_q,
+                              block_k=block_k, interpret=interpret)
+    return _flash_diff(q, k, v, sm_scale)
+
+
 @functools.partial(
     jax.jit, static_argnames=("sm_scale", "block_q", "block_k", "interpret"))
-def flash_attention(
+def _flash_forward(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,

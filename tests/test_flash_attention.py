@@ -40,3 +40,37 @@ def test_flash_key_padding_is_masked():
                           interpret=jax.default_backend() != "tpu")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-3, rtol=1e-4)
+
+
+def test_flash_gradients_match_reference():
+    """custom VJP (flash fwd + recompute bwd) vs autodiff through XLA path."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(k1, (1, 2, 128, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, 2, 128, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, 2, 128, 64), jnp.float32)
+
+    def loss_flash(q, k, v):
+        # interpret path on CPU still goes through the kernel forward; use
+        # the differentiable wrapper directly to exercise the custom VJP
+        from consistentid_tpu.ops.flash_attention import _flash_diff
+        return jnp.sum(_flash_diff(q, k, v, 64 ** -0.5) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    if jax.default_backend() != "tpu":
+        # the kernel forward needs interpret mode on CPU; check bwd math only
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        from consistentid_tpu.ops.flash_attention import _flash_diff_bwd
+        out = reference_attention(q, k, v)
+        g = jax.grad(lambda o: jnp.sum(o ** 2))(out)
+        dq, dk, dv = _flash_diff_bwd(64 ** -0.5, (q, k, v), g)
+        for got, want in zip((dq, dk, dv), g_ref):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-4, rtol=1e-4)
+    else:
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for got, want in zip(g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-2, rtol=1e-2)
