@@ -40,6 +40,11 @@ def localization_layer_names(num_layers: int) -> Tuple[str, ...]:
 class UNet(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
+    # rematerialize resnet/transformer blocks under autodiff (SURVEY §7.4.7:
+    # frozen ViT-H + UNet + captured attn probs need activation recompute).
+    # Blocks whose attn probs are captured are never remated (sow would be
+    # discarded by the checkpoint).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -82,9 +87,19 @@ class UNet(nn.Module):
         ctx = encoder_hidden_states.astype(self.dtype)
         sample = sample.astype(self.dtype)
 
+        def res_block(out_ch: int, name: str):
+            cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+            return cls(out_ch, groups=cfg.norm_num_groups, dtype=self.dtype,
+                       name=name)
+
         def transformer(level: int, name: str, block_name: str,
                         depth: Optional[int] = None):
-            return Transformer2D(
+            cls = Transformer2D
+            if self.remat and block_name not in capture_layers:
+                # __call__(self, x, context, lora_scale, ip_scale,
+                #          capture_probs): scales + flag are static
+                cls = nn.remat(Transformer2D, static_argnums=(3, 4, 5))
+            return cls(
                 heads=cfg.num_attention_heads[level],
                 context_dim=cfg.cross_attention_dim,
                 depth=(cfg.transformer_layers_per_block[level]
@@ -98,8 +113,9 @@ class UNet(nn.Module):
             )
 
         def run_transformer(tf, h, block_name):
-            return tf(h, ctx, lora_scale=lora_scale, ip_scale=ip_scale,
-                      capture_probs=block_name in capture_layers)
+            # positional so nn.remat's static_argnums covers the scales+flag
+            return tf(h, ctx, lora_scale, ip_scale,
+                      block_name in capture_layers)
 
         # -- down --
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
@@ -109,9 +125,7 @@ class UNet(nn.Module):
         for level, out_ch in enumerate(cfg.block_out_channels):
             block_name = f"down_{level}"
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock(out_ch, groups=cfg.norm_num_groups,
-                                dtype=self.dtype,
-                                name=f"down_{level}_resnet_{j}")(h, temb)
+                h = res_block(out_ch, f"down_{level}_resnet_{j}")(h, temb)
                 if cfg.down_block_has_attn[level]:
                     h = run_transformer(
                         transformer(level, f"down_{level}_attn_{j}",
@@ -132,13 +146,11 @@ class UNet(nn.Module):
 
         # -- mid --
         mid_level = n_levels - 1
-        h = ResnetBlock(cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
-                        dtype=self.dtype, name="mid_resnet_0")(h, temb)
+        h = res_block(cfg.block_out_channels[-1], "mid_resnet_0")(h, temb)
         h = run_transformer(
             transformer(mid_level, "mid_attn", "mid",
                         depth=cfg.mid_transformer_depth), h, "mid")
-        h = ResnetBlock(cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
-                        dtype=self.dtype, name="mid_resnet_1")(h, temb)
+        h = res_block(cfg.block_out_channels[-1], "mid_resnet_1")(h, temb)
         if mid_residual is not None:
             h = h + mid_residual.astype(h.dtype)
 
@@ -151,9 +163,7 @@ class UNet(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock(out_ch, groups=cfg.norm_num_groups,
-                                dtype=self.dtype,
-                                name=f"up_{i}_resnet_{j}")(h, temb)
+                h = res_block(out_ch, f"up_{i}_resnet_{j}")(h, temb)
                 if cfg.down_block_has_attn[level]:
                     h = run_transformer(
                         transformer(level, f"up_{i}_attn_{j}", block_name),

@@ -75,9 +75,11 @@ class SD15Bundle:
     text_config: CLIPTextConfig = field(default_factory=CLIPTextConfig)
     vision_config: CLIPVisionConfig = field(default_factory=CLIPVisionConfig)
     dtype: Any = jnp.float32
+    remat: bool = False   # rematerialize UNet blocks (training memory)
 
     def __post_init__(self):
-        self.unet = UNet(self.unet_config, dtype=self.dtype)
+        self.unet = UNet(self.unet_config, dtype=self.dtype,
+                         remat=self.remat)
         self.vae = AutoencoderKL(self.vae_config, dtype=self.dtype)
         self.text_encoder = CLIPTextEncoder(self.text_config, dtype=self.dtype)
         self.image_encoder = CLIPVisionEncoder(self.vision_config,

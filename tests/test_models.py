@@ -169,3 +169,35 @@ def test_clip_vision_shapes():
     assert post.shape == (2, 5, 32)      # 1 cls + 4 patches
     assert penult.shape == (2, 5, 32)
     assert not np.allclose(np.asarray(post), np.asarray(penult))
+
+
+def test_unet_remat_matches_and_differentiates():
+    """remat=True must produce identical outputs and support jax.grad with
+    intermediates capture intact on non-remated (captured) blocks."""
+    cfg = tiny_unet_config(lora_rank=4, ip_num_tokens=4)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    t = jnp.array([7])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 81, 32))
+    capture = localization_layer_names(3)
+
+    plain = UNet(cfg)
+    remat = UNet(cfg, remat=True)
+    params = plain.init(rng, x, t, ctx, capture_layers=capture)
+
+    o1, i1 = plain.apply(params, x, t, ctx, capture_layers=capture,
+                         mutable=["intermediates"])
+    o2, i2 = remat.apply(params, x, t, ctx, capture_layers=capture,
+                         mutable=["intermediates"])
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+    n1 = len(jax.tree_util.tree_leaves(i1["intermediates"]))
+    n2 = len(jax.tree_util.tree_leaves(i2["intermediates"]))
+    assert n1 == n2 > 0
+
+    def loss(p):
+        out = remat.apply(p, x, t, ctx)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(
+        float(jax.tree_util.tree_leaves(g)[0].sum()))
