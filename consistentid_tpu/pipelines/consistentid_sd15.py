@@ -326,6 +326,13 @@ class ConsistentIDPipeline:
                        start_merge_step, num_steps, scheduler, ip_scale,
                        lora_scale):
         null_e, aug_e, text_e = self.encode_embeddings(params, cond)
+        # num_images_per_prompt: conditioning is computed once and tiled to
+        # the latent batch (reference num_images_per_prompt repeat, :472-477)
+        n = latents.shape[0]
+        if null_e.shape[0] != n:
+            null_e, aug_e, text_e = (
+                jnp.repeat(e, n // e.shape[0], axis=0)
+                for e in (null_e, aug_e, text_e))
         plan = make_plan(self.schedule, scheduler, num_steps)
 
         def unet_fn(x, t, context, added, step_i):
@@ -358,6 +365,7 @@ class ConsistentIDPipeline:
         parsing_labels: Optional[np.ndarray] = None,
         faceid_embeds: Optional[np.ndarray] = None,
         return_latents: bool = False,
+        num_images_per_prompt: int = 1,
     ) -> np.ndarray:
         cfg = self.config
         height = height or cfg.height
@@ -372,8 +380,9 @@ class ConsistentIDPipeline:
 
         sf = self.bundle.vae_scale_factor
         latents = jax.random.normal(
-            jax.random.PRNGKey(seed), (1, height // sf, width // sf,
-                                       self.bundle.unet_config.sample_channels),
+            jax.random.PRNGKey(seed),
+            (num_images_per_prompt, height // sf, width // sf,
+             self.bundle.unet_config.sample_channels),
             jnp.float32)
 
         images = self._core_jit(

@@ -149,6 +149,17 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
                        start_merge_step, num_steps, scheduler, ip_scale,
                        lora_scale):
         text_b, facial_b = self.encode_embeddings_xl(params, cond)
+        n = latents.shape[0]
+        time_ids = cond["time_ids"]
+        if text_b.context.shape[0] != n:
+            rep = lambda e: (jnp.repeat(e, n // e.shape[0], axis=0)
+                             if e is not None else None)
+            text_b, facial_b = (
+                CondBranch(context=rep(b.context), null=rep(b.null),
+                           pooled=rep(b.pooled),
+                           pooled_null=rep(b.pooled_null))
+                for b in (text_b, facial_b))
+            time_ids = rep(time_ids)
         plan = make_plan(self.schedule, scheduler, num_steps)
 
         def unet_fn(x, t, context, added, step_i):
@@ -158,7 +169,7 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
 
         final = denoise(unet_fn, latents, text_b, facial_b, plan,
                         guidance_scale, start_merge_step,
-                        time_ids=cond["time_ids"])
+                        time_ids=time_ids)
         # fp32 VAE decode (SDXL force_upcast path, reference :670-672)
         vae_params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32) if jnp.issubdtype(

@@ -108,3 +108,14 @@ def test_generate_deterministic(pipeline):
     a = pipeline.generate("a man with a face", face, **kw)
     b = pipeline.generate("a man with a face", face, **kw)
     np.testing.assert_array_equal(a, b)
+
+
+def test_generate_num_images_per_prompt(pipeline):
+    face, labels = synthetic_face_inputs()
+    faceid = np.zeros((1, 16), np.float32)
+    imgs = pipeline.generate("a man with a face", face,
+                             parsing_labels=labels, faceid_embeds=faceid,
+                             seed=5, num_images_per_prompt=3)
+    assert imgs.shape == (3, 32, 32, 3)
+    # different latents per image
+    assert not np.array_equal(imgs[0], imgs[1])
