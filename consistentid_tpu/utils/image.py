@@ -69,3 +69,22 @@ def postprocess_to_uint8(images: np.ndarray) -> np.ndarray:
     """[-1,1] NHWC float -> uint8."""
     images = np.clip(images / 2 + 0.5, 0.0, 1.0)
     return (images * 255).round().astype(np.uint8)
+
+
+def crop_to_content(image: Image.Image, threshold: int = 10) -> Image.Image:
+    """Crop away the black border around the content (reference
+    evaluation/eval_function.py:12-28)."""
+    gray = np.array(_to_rgb(image).convert("L"))
+    nz = np.where(gray > threshold)
+    if nz[0].size == 0:
+        return image
+    top, bottom = nz[0].min(), nz[0].max()
+    left, right = nz[1].min(), nz[1].max()
+    return image.crop((left, top, right, bottom))
+
+
+def white_balance_correction(image: np.ndarray) -> np.ndarray:
+    """Mean-shift each channel to 128 (reference eval_function.py:58-74)."""
+    arr = image.astype(np.float64)
+    offsets = 128.0 - arr.reshape(-1, 3).mean(axis=0)
+    return np.clip(arr + offsets, 0, 255).astype(np.uint8)
