@@ -38,6 +38,11 @@ def build_parser():
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--scheduler", default="euler",
                    choices=["ddim", "euler", "ddpm"])
+    p.add_argument("--num-images", type=int, default=1)
+    p.add_argument("--sdxl", action="store_true",
+                   help="SDXL base (reference infer_SDXL.py defaults: "
+                        "864x1152, CFG 7.5)")
+    p.add_argument("--tokenizer-2", default=None)
     return p
 
 
@@ -46,31 +51,46 @@ def main(argv=None):
 
     from PIL import Image
 
+    from ..core.cache import enable_compilation_cache
     from ..core.config import PipelineConfig
-    from ..pipelines.loading import load_sd15_consistentid
+    from ..pipelines.loading import (load_sd15_consistentid,
+                                     load_sdxl_consistentid)
 
-    tokenizer = None
+    enable_compilation_cache()
+    tokenizer = tokenizer_2 = None
     if args.tokenizer:
         from transformers import CLIPTokenizer
         tokenizer = CLIPTokenizer.from_pretrained(args.tokenizer)
+    if args.tokenizer_2:
+        from transformers import CLIPTokenizer
+        tokenizer_2 = CLIPTokenizer.from_pretrained(args.tokenizer_2)
 
-    pipe = load_sd15_consistentid(
-        args.base, consistentid_path=args.consistentid,
-        image_encoder_path=args.image_encoder, bisenet_path=args.bisenet,
-        arcface_path=args.arcface, tokenizer=tokenizer,
-        pipeline_config=PipelineConfig(
-            height=args.height, width=args.width,
-            num_inference_steps=args.steps,
-            guidance_scale=args.guidance_scale,
-            start_merge_step=args.start_merge_step,
-            scheduler=args.scheduler))
+    config = PipelineConfig(
+        height=args.height, width=args.width,
+        num_inference_steps=args.steps,
+        guidance_scale=args.guidance_scale,
+        start_merge_step=args.start_merge_step,
+        scheduler=args.scheduler)
+    kw = dict(consistentid_path=args.consistentid,
+              image_encoder_path=args.image_encoder,
+              bisenet_path=args.bisenet, arcface_path=args.arcface,
+              tokenizer=tokenizer, pipeline_config=config)
+    if args.sdxl:
+        pipe = load_sdxl_consistentid(args.base, tokenizer_2=tokenizer_2,
+                                      **kw)
+    else:
+        pipe = load_sd15_consistentid(args.base, **kw)
 
     face = Image.open(args.image)
-    img = pipe.generate(args.prompt, face,
-                        negative_prompt=args.negative_prompt,
-                        seed=args.seed)
-    Image.fromarray(img[0]).save(args.out)
-    print(f"saved {args.out}")
+    imgs = pipe.generate(args.prompt, face,
+                         negative_prompt=args.negative_prompt,
+                         seed=args.seed,
+                         num_images_per_prompt=args.num_images)
+    stem, ext = (args.out.rsplit(".", 1) + ["png"])[:2]
+    for i, img in enumerate(imgs):
+        name = args.out if len(imgs) == 1 else f"{stem}_{i}.{ext}"
+        Image.fromarray(img).save(name)
+        print(f"saved {name}")
 
 
 if __name__ == "__main__":

@@ -10,12 +10,16 @@ functional flag: `dot_product_attention(..., return_probs=True)`.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .flash_attention import flash_attention
+
+# benchmarking escape hatch: CONSISTENTID_DISABLE_FLASH=1 forces XLA attention
+_FLASH_DISABLED = os.environ.get("CONSISTENTID_DISABLE_FLASH", "0") == "1"
 
 # below this many query*key elements per head the XLA path wins (kernel launch
 # and padding overheads dominate); tuned on v5e — see bench_kernels.py
@@ -57,7 +61,7 @@ def dot_product_attention(
     if use_flash is None:
         on_tpu = any(d.platform == "tpu" for d in jax.devices())
         big = q.shape[2] * k.shape[2] >= _FLASH_MIN_ELEMS
-        use_flash = on_tpu and big
+        use_flash = on_tpu and big and not _FLASH_DISABLED
     if use_flash:
         return flash_attention(q, k, v, sm_scale)
     return reference_attention(q, k, v, sm_scale)

@@ -179,6 +179,7 @@ class ConsistentIDPipeline:
         scheduler_config: Optional[SchedulerConfig] = None,
         face_parser: Optional[Callable] = None,    # PIL -> (H, W) label map
         face_embedder: Optional[Callable] = None,  # PIL -> (1, 512) np
+        mesh=None,  # jax Mesh: shard num_images_per_prompt over 'data'
     ):
         self.bundle = bundle
         self.params = params
@@ -194,6 +195,7 @@ class ConsistentIDPipeline:
             scheduler_config or SchedulerConfig())
         self.face_parser = face_parser
         self.face_embedder = face_embedder
+        self.mesh = mesh
         self._facial_token_id = tokenizer.convert_tokens_to_ids("<|facial|>")
         # jit once; a fresh jax.jit per generate() would recompile every call
         self._core_jit = jax.jit(
@@ -384,6 +386,15 @@ class ConsistentIDPipeline:
             (num_images_per_prompt, height // sf, width // sf,
              self.bundle.unet_config.sample_channels),
             jnp.float32)
+        if self.mesh is not None and \
+                num_images_per_prompt % self.mesh.devices.size == 0:
+            # data-parallel image batch: XLA partitions the whole compiled
+            # graph (scan included) over the mesh's data axis
+            from ..parallel import data_sharding, replicated
+            latents = jax.device_put(
+                latents, data_sharding(self.mesh, latents.ndim))
+            cond = {k: jax.device_put(v, replicated(self.mesh))
+                    for k, v in cond.items()}
 
         images = self._core_jit(
             self.params, cond, latents,

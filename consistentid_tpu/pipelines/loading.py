@@ -106,3 +106,74 @@ def load_sd15_consistentid(
 
 # discoverability alias matching the reference method name
 load_ConsistentID_model = load_sd15_consistentid
+
+
+def load_sdxl_consistentid(
+    base_dir: str,
+    consistentid_path: Optional[str] = None,
+    image_encoder_path: Optional[str] = None,
+    bisenet_path: Optional[str] = None,
+    arcface_path: Optional[str] = None,
+    tokenizer=None,
+    tokenizer_2=None,
+    dtype=jnp.bfloat16,
+    lora_rank: int = 128,
+    num_tokens: int = 4,
+    pipeline_config: Optional[PipelineConfig] = None,
+):
+    """Assemble the SDXL ConsistentID pipeline from local checkpoints
+    (reference pipline_StableDiffusionXL_ConsistentID.py:104-176: prefixes
+    image_proj_model/adapter_modules/FacialEncoder, tokenizer_2 trigger)."""
+    from ..core.config import VAEConfig, sdxl_unet_config
+    from ..core.dtypes import cast_floating
+    from .consistentid_sdxl import (ConsistentIDXLPipeline, SDXLBundle,
+                                    sdxl_adapter_config)
+
+    bundle = SDXLBundle(
+        unet_config=sdxl_unet_config(lora_rank=lora_rank,
+                                     ip_num_tokens=num_tokens),
+        adapter_config=sdxl_adapter_config(lora_rank=lora_rank,
+                                           num_id_tokens=num_tokens),
+        vae_config=VAEConfig(scaling_factor=0.13025, force_upcast=True),
+        dtype=dtype,
+    )
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    params["unet"].update(unet_from_diffusers(
+        _subcheckpoint(base_dir, "unet"), bundle.unet_config))
+    params["unet"] = warm_start_ip_projections(params["unet"])
+    params["vae"] = vae_from_diffusers(
+        _subcheckpoint(base_dir, "vae"), bundle.vae_config)
+    params["text_encoder"] = clip_text_from_hf(
+        _subcheckpoint(base_dir, "text_encoder"), bundle.text_config)
+    params["text_encoder_2"] = clip_text_from_hf(
+        _subcheckpoint(base_dir, "text_encoder_2"), bundle.text_config_2)
+    if image_encoder_path:
+        params["image_encoder"] = clip_vision_from_hf(
+            read_checkpoint(image_encoder_path), bundle.vision_config)
+    if consistentid_path:
+        sd = read_checkpoint(consistentid_path)
+        params = convert.load_consistentid_checkpoint(
+            params, sd, bundle.unet_config)
+    params = cast_floating(params, dtype)
+
+    face_parser = face_embedder = None
+    if bisenet_path:
+        bn_params, bn_stats = convert.bisenet_from_torch(
+            read_checkpoint(bisenet_path))
+        face_parser = make_face_parser(bn_params, bn_stats)
+    if arcface_path:
+        if arcface_path.endswith(".onnx"):
+            from ..io.onnx_reader import read_onnx_initializers
+            sd = read_onnx_initializers(arcface_path)
+        else:
+            sd = read_checkpoint(arcface_path)
+        ir_params, ir_stats = convert.iresnet_from_torch(sd)
+        face_embedder = make_face_embedder(ir_params, ir_stats)
+
+    if tokenizer is None:
+        from ..conditioning import SimpleTokenizer
+        tokenizer = SimpleTokenizer()
+    return ConsistentIDXLPipeline(
+        bundle, params, tokenizer, tokenizer_2=tokenizer_2,
+        pipeline_config=pipeline_config, face_parser=face_parser,
+        face_embedder=face_embedder)

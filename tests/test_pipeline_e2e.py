@@ -119,3 +119,24 @@ def test_generate_num_images_per_prompt(pipeline):
     assert imgs.shape == (3, 32, 32, 3)
     # different latents per image
     assert not np.array_equal(imgs[0], imgs[1])
+
+
+def test_generate_sharded_over_mesh():
+    """Batched generation data-sharded over the 8-device CPU mesh."""
+    from consistentid_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    pipe = ConsistentIDPipeline(
+        bundle, params, SimpleTokenizer(),
+        pipeline_config=PipelineConfig(height=32, width=32,
+                                       num_inference_steps=2,
+                                       start_merge_step=1),
+        mesh=mesh)
+    face, labels = synthetic_face_inputs()
+    imgs = pipe.generate("a man with a face", face, parsing_labels=labels,
+                         faceid_embeds=np.zeros((1, 16), np.float32),
+                         seed=1, num_images_per_prompt=8)
+    assert imgs.shape == (8, 32, 32, 3)
+    assert not np.array_equal(imgs[0], imgs[1])
