@@ -73,8 +73,12 @@ def denoise(
         w = (i <= start_merge_step).astype(stack.dtype)
         return w * stack[0] + (1.0 - w) * stack[1]
 
-    def body(x, scan_in):
-        i, (t, c_in, coef_x, coef_e, coef_n), key = scan_in
+    is_dpmpp = plan.kind == "dpmpp_2m"
+
+    def body(carry, scan_in):
+        x, prev_x0 = carry
+        i, consts, key = scan_in
+        t, c_in = consts[0], consts[1]
         context = jnp.concatenate(
             [select(i, null_stack), select(i, ctx_stack)], axis=0)
         added = None
@@ -91,10 +95,22 @@ def denoise(
         eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
         eps = eps_uncond + guidance_scale.astype(eps.dtype) * (
             eps_cond - eps_uncond)
-        x_next = (coef_x.astype(x.dtype) * x + coef_e.astype(x.dtype) * eps)
-        if needs_noise:
-            z = jax.random.normal(key, x.shape, x.dtype)
-            x_next = x_next + coef_n.astype(x.dtype) * z
+        if is_dpmpp:
+            c_alpha, c_sigma, ratio, gamma, rr = (
+                consts[5], consts[6], consts[7], consts[8], consts[9])
+            x0 = (x - c_sigma.astype(x.dtype) * eps) / c_alpha.astype(x.dtype)
+            d = jnp.where(i == 0, x0,
+                          (1.0 + rr).astype(x.dtype) * x0
+                          - rr.astype(x.dtype) * prev_x0)
+            x_next = ratio.astype(x.dtype) * x - gamma.astype(x.dtype) * d
+            prev_x0 = x0
+        else:
+            coef_x, coef_e, coef_n = consts[2], consts[3], consts[4]
+            x_next = (coef_x.astype(x.dtype) * x
+                      + coef_e.astype(x.dtype) * eps)
+            if needs_noise:
+                z = jax.random.normal(key, x.shape, x.dtype)
+                x_next = x_next + coef_n.astype(x.dtype) * z
         if inpaint_mask is not None:
             # 4-channel UNet inpainting: blend the (re-noised) init latents
             # back outside the mask after each step (reference
@@ -103,7 +119,9 @@ def denoise(
             x_next = ((1.0 - inpaint_mask).astype(x.dtype) *
                       target.astype(x.dtype)
                       + inpaint_mask.astype(x.dtype) * x_next)
-        return x_next, None
+        return (x_next, prev_x0), None
 
-    final, _ = jax.lax.scan(body, latents, (step_idx, steps, noise_keys))
+    (final, _), _ = jax.lax.scan(
+        body, (latents, jnp.zeros_like(latents)),
+        (step_idx, steps, noise_keys))
     return final

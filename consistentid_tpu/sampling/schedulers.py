@@ -64,7 +64,13 @@ class NoiseSchedule:
 
 @dataclass(frozen=True)
 class SamplerPlan:
-    """Per-step affine coefficients for the scan-based denoise loop."""
+    """Per-step coefficients for the scan-based denoise loop.
+
+    kind="affine": x' = coef_x*x + coef_e*eps + coef_n*z.
+    kind="dpmpp_2m": DPM-Solver++(2M) — x0 = (x - c_sigma*eps)/c_alpha,
+      D = first step: x0; later: (1+1/(2r))*x0 - 1/(2r)*prev_x0,
+      x' = ratio*x - gamma*D, with r = h_prev/h in lambda-space.
+    """
 
     timesteps: np.ndarray   # (T,) float32, unet conditioning timesteps
     c_in: np.ndarray        # (T,) model-input scale
@@ -72,20 +78,26 @@ class SamplerPlan:
     coef_e: np.ndarray      # (T,)
     coef_n: np.ndarray      # (T,) ancestral-noise scale (0 for ODE samplers)
     init_scale: float       # initial latent multiplier
+    kind: str = "affine"
+    # dpmpp_2m extras (None for affine plans)
+    c_alpha: np.ndarray | None = None   # (T,) sqrt(acp_t)
+    c_sigma: np.ndarray | None = None   # (T,) sqrt(1-acp_t)
+    ratio: np.ndarray | None = None     # (T,) sigma_{t+1}/sigma_t
+    gamma: np.ndarray | None = None     # (T,) alpha_{t+1}*(exp(-h)-1)
+    rr: np.ndarray | None = None        # (T,) 1/(2r), 0 at step 0
 
     @property
     def num_steps(self) -> int:
         return len(self.timesteps)
 
     def stacked(self):
-        """(T, 5) array: [t, c_in, coef_x, coef_e, coef_n] for lax.scan."""
-        return jnp.stack([
-            jnp.asarray(self.timesteps, jnp.float32),
-            jnp.asarray(self.c_in, jnp.float32),
-            jnp.asarray(self.coef_x, jnp.float32),
-            jnp.asarray(self.coef_e, jnp.float32),
-            jnp.asarray(self.coef_n, jnp.float32),
-        ], axis=1)
+        """(T, K) per-step constants for lax.scan."""
+        cols = [self.timesteps, self.c_in, self.coef_x, self.coef_e,
+                self.coef_n]
+        if self.kind == "dpmpp_2m":
+            cols += [self.c_alpha, self.c_sigma, self.ratio, self.gamma,
+                     self.rr]
+        return jnp.stack([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
 
 
 def _leading_timesteps(config: SchedulerConfig, num_steps: int) -> np.ndarray:
@@ -160,7 +172,51 @@ def ddpm_plan(schedule: NoiseSchedule, num_steps: int) -> SamplerPlan:
     )
 
 
-PLAN_BUILDERS = {"ddim": ddim_plan, "euler": euler_plan, "ddpm": ddpm_plan}
+def dpmpp_2m_plan(schedule: NoiseSchedule, num_steps: int) -> SamplerPlan:
+    """DPM-Solver++(2M), deterministic multistep — matches 50-step DDIM
+    quality at ~20-25 steps (data-prediction form; a throughput upgrade over
+    the reference's DDIM/Euler set)."""
+    cfg = schedule.config
+    acp = schedule.alphas_cumprod.astype(np.float64)
+    ts = _leading_timesteps(cfg, num_steps)
+    alphas = np.sqrt(acp[ts])
+    sigmas = np.sqrt(1.0 - acp[ts])
+    lambdas = np.log(alphas / sigmas)
+    # target (next) nodes; final node is the clean sample (lambda -> +inf)
+    a_next = np.concatenate([alphas[1:], [1.0]])
+    s_next = np.concatenate([sigmas[1:], [0.0]])
+    with np.errstate(divide="ignore"):
+        l_next = np.where(s_next > 0, np.log(a_next / np.maximum(s_next,
+                                                                 1e-12)),
+                          np.inf)
+    h = l_next - lambdas                         # (T,)
+    h_prev = np.concatenate([[h[0]], h[:-1]])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = h_prev / h
+        rr = np.where(np.arange(num_steps) == 0, 0.0, 1.0 / (2.0 * r))
+    ratio = np.where(sigmas > 0, s_next / np.maximum(sigmas, 1e-12), 0.0)
+    gamma = a_next * (np.exp(-h) - 1.0)
+    # final step (h=inf): lower-order-final first-order update x' = x0
+    gamma = np.where(np.isinf(h), -a_next, gamma)
+    rr = np.where(np.isinf(h) | ~np.isfinite(rr), 0.0, rr)
+    return SamplerPlan(
+        timesteps=ts.astype(np.float32),
+        c_in=np.ones(num_steps, np.float32),
+        coef_x=np.zeros(num_steps, np.float32),
+        coef_e=np.zeros(num_steps, np.float32),
+        coef_n=np.zeros(num_steps, np.float32),
+        init_scale=1.0,
+        kind="dpmpp_2m",
+        c_alpha=alphas.astype(np.float32),
+        c_sigma=sigmas.astype(np.float32),
+        ratio=ratio.astype(np.float32),
+        gamma=gamma.astype(np.float32),
+        rr=rr.astype(np.float32),
+    )
+
+
+PLAN_BUILDERS = {"ddim": ddim_plan, "euler": euler_plan, "ddpm": ddpm_plan,
+                 "dpmpp_2m": dpmpp_2m_plan}
 
 
 def make_plan(schedule: NoiseSchedule, name: str, num_steps: int) -> SamplerPlan:

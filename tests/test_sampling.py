@@ -120,3 +120,56 @@ def test_denoise_with_tiny_unet(schedule):
                           jnp.float32(5.0), jnp.int32(1)))(latents)
     assert out.shape == latents.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dpmpp_2m_exact_on_constant_x0(schedule):
+    """DPM-Solver integrates the probability-flow ODE exactly when the
+    data prediction is constant along the trajectory: with an oracle eps for
+    fixed (x0, eps), every step must land on alpha_next*x0 + sigma_next*eps,
+    and the final step on x0 itself."""
+    from consistentid_tpu.sampling import make_plan
+
+    plan = make_plan(schedule, "dpmpp_2m", 12)
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(1, 4, 4, 4).astype(np.float64)
+    eps = rng.randn(1, 4, 4, 4).astype(np.float64)
+    acp = schedule.alphas_cumprod.astype(np.float64)
+
+    alphas = np.sqrt(acp[plan.timesteps.astype(int)])
+    sigmas = np.sqrt(1 - acp[plan.timesteps.astype(int)])
+    x = alphas[0] * x0 + sigmas[0] * eps
+    prev_x0 = np.zeros_like(x)
+    for i in range(plan.num_steps):
+        x0_pred = (x - plan.c_sigma[i] * eps) / plan.c_alpha[i]
+        np.testing.assert_allclose(x0_pred, x0, atol=1e-4)
+        d = x0_pred if i == 0 else (1 + plan.rr[i]) * x0_pred \
+            - plan.rr[i] * prev_x0
+        x = plan.ratio[i] * x - plan.gamma[i] * d
+        prev_x0 = x0_pred
+        if i < plan.num_steps - 1:
+            want = alphas[i + 1] * x0 + sigmas[i + 1] * eps
+            np.testing.assert_allclose(x, want, atol=1e-3)
+    np.testing.assert_allclose(x, x0, atol=1e-3)
+
+
+def test_denoise_dpmpp_with_tiny_unet(schedule):
+    from consistentid_tpu.models import UNet
+    from consistentid_tpu.sampling import make_plan
+    from tests.test_models import tiny_unet_config
+
+    cfg = tiny_unet_config(ip_num_tokens=4)
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    latents = jax.random.normal(rng, (1, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 81, 32))
+    params = model.init(rng, latents, jnp.array([0]), ctx)
+
+    def unet_fn(x, t, context, added, step_i):
+        return model.apply(params, x, t, context)
+
+    plan = make_plan(schedule, "dpmpp_2m", 4)
+    br = CondBranch(context=ctx, null=ctx)
+    out = denoise(unet_fn, latents, br, br, plan, jnp.float32(5.0),
+                  jnp.int32(1))
+    assert out.shape == latents.shape
+    assert np.isfinite(np.asarray(out)).all()
