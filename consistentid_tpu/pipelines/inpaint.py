@@ -189,13 +189,15 @@ class ConsistentIDControlNetInpaintPipeline(ConsistentIDInpaintPipeline):
     def __init__(self, *args, controlnet: Optional[ControlNet] = None,
                  controlnet_scale: float = 1.0,
                  control_guidance_start: float = 0.0,
-                 control_guidance_end: float = 1.0, **kwargs):
+                 control_guidance_end: float = 1.0,
+                 guess_mode: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.controlnet = controlnet or ControlNet(self.bundle.unet_config,
                                                    dtype=self.bundle.dtype)
         self.controlnet_scale = controlnet_scale
         self.control_guidance_start = control_guidance_start
         self.control_guidance_end = control_guidance_end
+        self.guess_mode = guess_mode
 
     def _extra_cond(self, cond, height, width, control_image=None, **extra):
         assert control_image is not None, "pass control_image=PIL"
@@ -249,6 +251,15 @@ class ConsistentIDControlNetInpaintPipeline(ConsistentIDInpaintPipeline):
             down_res, mid_res = self.controlnet.apply(
                 {"params": params["controlnet"]}, x, t, context, control2,
                 conditioning_scale=scale_table[step_i], added_cond=added)
+            if self.guess_mode:
+                # guess mode conditions the text branch only: zero the
+                # residuals of the uncond half (reference ControlNet-inpaint
+                # :389-392 runs controlnet on the cond inputs alone)
+                b = x.shape[0] // 2
+                gate = jnp.concatenate(
+                    [jnp.zeros((b,)), jnp.ones((b,))]).reshape(-1, 1, 1, 1)
+                down_res = tuple(r * gate.astype(r.dtype) for r in down_res)
+                mid_res = mid_res * gate.astype(mid_res.dtype)
             return bundle.unet.apply(
                 {"params": params["unet"]}, x, t, context,
                 added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale,
