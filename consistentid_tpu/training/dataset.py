@@ -61,6 +61,24 @@ class FGIDDataset:
         return p if os.path.isabs(p) else os.path.join(self.image_root, p)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        """Defensive wrapper: a broken sample is replaced by sample 0 and
+        side-logged, mirroring the reference's hard-coded fallback + error
+        logs (utils_SDXL.py:85-100, utils.py:102-107) so a bad record can't
+        kill a long run."""
+        try:
+            return self._load_item(i)
+        except Exception as e:  # noqa: BLE001
+            self._log_bad_sample(i, e)
+            if i == 0:
+                raise
+            return self._load_item(0)
+
+    def _log_bad_sample(self, i: int, err: Exception):
+        import logging
+        logging.getLogger(__name__).warning(
+            "FGID sample %d failed (%s); substituting sample 0", i, err)
+
+    def _load_item(self, i: int) -> Dict[str, np.ndarray]:
         item = self.items[i]
         image = Image.open(self._path(item["image_path"])).convert("RGB")
         parsing = np.array(Image.open(self._path(item["parsing_mask_path"])))

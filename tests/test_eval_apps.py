@@ -94,3 +94,44 @@ def test_fgid_fuse(tmp_path):
         merged = json.load(f)
     assert len(merged) == 3
     assert "vqa_llva_more_face_detail" in merged["im0"]
+
+
+def test_object_transforms():
+    from consistentid_tpu.utils.augment import (object_transforms,
+                                                pad_to_square)
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (30, 50, 3), np.uint8)
+    sq = pad_to_square(img)
+    assert sq.shape == (50, 50, 3)
+    out = object_transforms(img, rng, size=64)
+    assert out.shape == (64, 64, 3)
+    out2 = object_transforms(img, rng, size=64, augment=False)
+    assert out2.shape == (64, 64, 3)
+
+
+def test_fgid_dataset_bad_sample_fallback(tmp_path):
+    import json
+
+    from consistentid_tpu.conditioning import SimpleTokenizer
+    from consistentid_tpu.training import FGIDDataset
+
+    img = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    img.save(tmp_path / "good.png")
+    parsing = np.zeros((64, 64), np.uint8)
+    parsing[10:30, 10:30] = 1
+    Image.fromarray(parsing).save(tmp_path / "good_mask.png")
+    manifest = [
+        {"image_path": "good.png", "parsing_mask_path": "good_mask.png",
+         "vqa_llva": "a person.", "vqa_llva_more_face_detail":
+             "The person has one face."},
+        {"image_path": "MISSING.png", "parsing_mask_path": "nope.png",
+         "vqa_llva": "x", "vqa_llva_more_face_detail": "y"},
+    ]
+    mpath = tmp_path / "m.json"
+    mpath.write_text(json.dumps(manifest))
+    ds = FGIDDataset(str(mpath), SimpleTokenizer(), size=64, clip_size=28,
+                     image_root=str(tmp_path), text_drop_prob=0.0)
+    ok = ds[0]
+    fallback = ds[1]  # broken -> substitutes sample 0
+    np.testing.assert_array_equal(ok["images"], fallback["images"])
