@@ -103,8 +103,8 @@ def unet_from_diffusers(sd: Mapping[str, np.ndarray],
                     sd, f"{p}.attentions.{j}",
                     cfg.transformer_layers_per_block[level], use_linear)
         if level < n - 1:
-            out[f"down_{level}_downsample"] = conv(
-                sd, f"{p}.downsamplers.0.conv")
+            out[f"down_{level}_downsample"] = {
+                "conv": conv(sd, f"{p}.downsamplers.0.conv")}
 
     out["mid_resnet_0"] = _resnet(sd, "mid_block.resnets.0")
     out["mid_resnet_1"] = _resnet(sd, "mid_block.resnets.1")
@@ -121,7 +121,8 @@ def unet_from_diffusers(sd: Mapping[str, np.ndarray],
                     sd, f"{p}.attentions.{j}",
                     cfg.transformer_layers_per_block[level], use_linear)
         if i < n - 1:
-            out[f"up_{i}_upsample"] = conv(sd, f"{p}.upsamplers.0.conv")
+            out[f"up_{i}_upsample"] = {
+                "conv": conv(sd, f"{p}.upsamplers.0.conv")}
     return out
 
 
