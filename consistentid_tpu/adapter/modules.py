@@ -162,6 +162,11 @@ class FacialEncoder(nn.Module):
     embedding_dim: int = 1280
     output_dim: int = 768
     embed_dim: int = 768
+    # AttentionMLP hyperparameters (reference defaults: 1024/8/16/64)
+    facial_dim: int = 1024
+    facial_depth: int = 8
+    facial_heads: int = 16
+    facial_dim_head: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -171,6 +176,8 @@ class FacialEncoder(nn.Module):
         b, n, t, c = multi_image_embeds.shape
         flat = multi_image_embeds.reshape(b * n, t, c)
         id_tokens = AttentionMLP(
+            dim=self.facial_dim, depth=self.facial_depth,
+            heads=self.facial_heads, dim_head=self.facial_dim_head,
             embedding_dim=self.embedding_dim, output_dim=self.output_dim,
             dtype=self.dtype, name="visual_projection")(flat)  # (B*N, 1, out)
         id_tokens = id_tokens.reshape(b, n, self.output_dim)

@@ -362,3 +362,109 @@ def iresnet_from_torch(sd: Mapping[str, np.ndarray],
             "var": sd["features.running_var"]}
     params["features"], stats["features"] = fs_p, fs_s
     return params, stats
+
+
+# -- export back to the reference checkpoint layout ---------------------------
+
+def _linear_out(tree, prefix: str, out, bias: bool = True):
+    out[f"{prefix}.weight"] = np.ascontiguousarray(
+        np.asarray(tree["kernel"]).T)
+    if bias and "bias" in tree:
+        out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _layernorm_out(tree, prefix: str, out):
+    out[f"{prefix}.weight"] = np.asarray(tree["scale"])
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _perceiver_attention_out(tree, p: str, out):
+    _layernorm_out(tree["norm1"], f"{p}.norm1", out)
+    _layernorm_out(tree["norm2"], f"{p}.norm2", out)
+    for name in ("to_q", "to_kv", "to_out"):
+        _linear_out(tree[name], f"{p}.{name}", out, bias=False)
+
+
+def _feedforward_out(tree, p: str, out):
+    _layernorm_out(tree["norm"], f"{p}.0", out)
+    _linear_out(tree["fc1"], f"{p}.1", out, bias=False)
+    _linear_out(tree["fc2"], f"{p}.3", out, bias=False)
+
+
+def _resampler_out(tree, p: str, out, depth: int):
+    _linear_out(tree["proj_in"], _join(p, "proj_in"), out)
+    _linear_out(tree["proj_out"], _join(p, "proj_out"), out)
+    _layernorm_out(tree["norm_out"], _join(p, "norm_out"), out)
+    for i in range(depth):
+        _perceiver_attention_out(tree[f"layers_{i}_attn"],
+                                 _join(p, f"layers.{i}.0"), out)
+        _feedforward_out(tree[f"layers_{i}_ff"],
+                         _join(p, f"layers.{i}.1"), out)
+
+
+def export_proj_plus(tree, depth: int = 4) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    _linear_out(tree["proj_0"], "proj.0", out)
+    _linear_out(tree["proj_2"], "proj.2", out)
+    _layernorm_out(tree["norm"], "norm", out)
+    _resampler_out(tree["perceiver_resampler"], "perceiver_resampler", out,
+                   depth)
+    return out
+
+
+def export_facial_encoder(tree, depth: int = 8) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    vp = tree["visual_projection"]
+    out["visual_projection.latents"] = np.asarray(vp["latents"])
+    _linear_out(vp["proj_in"], "visual_projection.proj_in", out)
+    _linear_out(vp["proj_out"], "visual_projection.proj_out", out)
+    _layernorm_out(vp["norm_out"], "visual_projection.norm_out", out)
+    for i in range(depth):
+        _perceiver_attention_out(vp[f"layers_{i}_attn"],
+                                 f"visual_projection.layers.{i}.0", out)
+        _feedforward_out(vp[f"layers_{i}_ff"],
+                         f"visual_projection.layers.{i}.1", out)
+    fm = tree["fuse_module"]
+    for m in ("mlp1", "mlp2"):
+        _layernorm_out(fm[m]["layernorm"], f"fuse_module.{m}.layernorm", out)
+        _linear_out(fm[m]["fc1"], f"fuse_module.{m}.fc1", out)
+        _linear_out(fm[m]["fc2"], f"fuse_module.{m}.fc2", out)
+    _layernorm_out(fm["layer_norm"], "fuse_module.layer_norm", out)
+    return out
+
+
+def export_consistentid_checkpoint(params: Dict, unet_cfg,
+                                   proj_depth: int = 4,
+                                   facial_depth: int = 8) -> Dict:
+    """Inverse of load_consistentid_checkpoint: produce the reference's
+    {image_proj, adapter_modules, FacialEncoder} .bin layout from a params
+    bundle, so adapters trained here load in the reference ecosystem
+    (the distributable artifact of evaluation/convert_weights.py)."""
+    from flax import traverse_util
+
+    adapters: Dict[str, np.ndarray] = {}
+    flat_unet = traverse_util.flatten_dict(params["unet"])
+    for idx, (path, is_cross) in enumerate(unet_attention_paths(unet_cfg)):
+        def attn_tree(name):
+            sub = {}
+            for k, v in flat_unet.items():
+                if k[:len(path)] == path and k[len(path)] == name:
+                    sub[k[len(path) + 1:]] = v
+            return traverse_util.unflatten_dict(sub)
+
+        for lora in ("to_q_lora", "to_k_lora", "to_v_lora", "to_out_lora"):
+            t = attn_tree(lora)
+            _linear_out(t["down"], f"{idx}.{lora}.down", adapters, bias=False)
+            _linear_out(t["up"], f"{idx}.{lora}.up", adapters, bias=False)
+        if is_cross:
+            _linear_out(attn_tree("to_k_ip"), f"{idx}.to_k_ip", adapters,
+                        bias=False)
+            _linear_out(attn_tree("to_v_ip"), f"{idx}.to_v_ip", adapters,
+                        bias=False)
+
+    return {
+        "image_proj": export_proj_plus(params["proj"], proj_depth),
+        "FacialEncoder": export_facial_encoder(params["facial_encoder"],
+                                               facial_depth),
+        "adapter_modules": adapters,
+    }

@@ -93,7 +93,10 @@ class SD15Bundle:
         self.facial_encoder = FacialEncoder(
             embedding_dim=a.clip_embeddings_dim,
             output_dim=a.facial_output_dim,
-            embed_dim=a.cross_attention_dim, dtype=self.dtype)
+            embed_dim=a.cross_attention_dim,
+            facial_dim=a.facial_dim, facial_depth=a.facial_depth,
+            facial_heads=a.facial_heads, facial_dim_head=a.facial_dim_head,
+            dtype=self.dtype)
 
     @property
     def vae_scale_factor(self) -> int:

@@ -137,3 +137,54 @@ def test_load_consistentid_checkpoint_reference_layout():
     loaded = np.asarray(flat_unet[first_cross + ("to_k_ip", "kernel")])
     src = adapter_modules.state_dict()["1.to_k_ip.weight"].numpy().T
     np.testing.assert_allclose(loaded, src)
+
+
+def test_export_import_roundtrip():
+    """export_consistentid_checkpoint inverts load_consistentid_checkpoint."""
+    from flax import traverse_util
+
+    bundle = tiny_bundle()
+    cfg = bundle.unet_config
+    a = bundle.adapter_config
+    params = bundle.init_params(jax.random.PRNGKey(3))
+    # randomize adapters so the roundtrip is non-trivial (LoRA ups are 0-init)
+    flat = traverse_util.flatten_dict(params)
+    rng = np.random.RandomState(0)
+    for k in flat:
+        if any(m in part for part in k
+               for m in ("_lora", "to_k_ip", "to_v_ip")) or \
+                k[0] in ("proj", "facial_encoder"):
+            flat[k] = jnp.asarray(rng.randn(*flat[k].shape).astype(np.float32))
+    params = traverse_util.unflatten_dict(flat)
+
+    sd = convert.export_consistentid_checkpoint(
+        params, cfg, proj_depth=4, facial_depth=a.facial_depth)
+    assert set(sd) == {"image_proj", "FacialEncoder", "adapter_modules"}
+
+    blank = tiny_bundle().init_params(jax.random.PRNGKey(4))
+    # facial encoder converter assumes default depth; pass through loader
+    from consistentid_tpu.io.convert import (facial_encoder, proj_plus_model,
+                                             adapter_processor_params,
+                                             unet_attention_paths)
+    restored = dict(traverse_util.flatten_dict(blank))
+    restored.update({("proj",) + k: v for k, v in traverse_util.flatten_dict(
+        proj_plus_model(sd["image_proj"])).items()})
+    restored.update({("facial_encoder",) + k: v
+                     for k, v in traverse_util.flatten_dict(
+                         facial_encoder(sd["FacialEncoder"],
+                                        depth=a.facial_depth)).items()})
+    for idx, (path, is_cross) in enumerate(unet_attention_paths(cfg)):
+        proc = adapter_processor_params(sd["adapter_modules"], idx, is_cross)
+        for k, v in traverse_util.flatten_dict(proc).items():
+            restored[("unet",) + path + k] = v
+    restored = traverse_util.unflatten_dict(restored)
+
+    want = traverse_util.flatten_dict(params)
+    got = traverse_util.flatten_dict(restored)
+    for k in want:
+        if any(m in part for part in k
+               for m in ("_lora", "to_k_ip", "to_v_ip")) or \
+                k[0] in ("proj", "facial_encoder"):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]), atol=1e-6,
+                                       err_msg=str(k))
