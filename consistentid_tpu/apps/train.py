@@ -47,8 +47,11 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    from ..core.cache import enable_compilation_cache
     from ..core.config import (AdapterConfig, SchedulerConfig, TrainConfig,
                                sd15_unet_config)
+
+    enable_compilation_cache()
     from ..io.checkpoint import CheckpointManager
     from ..io.convert_backbones import (clip_text_from_hf,
                                         clip_vision_from_hf,
