@@ -22,7 +22,13 @@ def main():
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--tiny", action="store_true",
                    help="tiny config smoke mode (CI)")
+    p.add_argument("--sdxl", action="store_true",
+                   help="SDXL 1024px per-step time (BASELINE's second "
+                        "tracked config)")
     args = p.parse_args()
+
+    if args.sdxl:
+        return bench_sdxl(args)
 
     import jax
     import jax.numpy as jnp
@@ -90,6 +96,65 @@ def main():
         "value": round(images_per_min, 3),
         "unit": "images/min",
         "vs_baseline": round(images_per_min / 30.0, 3),
+    }))
+
+
+def bench_sdxl(args):
+    """SDXL 1024px CFG denoise step time (per UNet-pair step, in-scan)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from consistentid_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from consistentid_tpu.core import PipelineConfig
+    from consistentid_tpu.pipelines import SDXLBundle, sdxl_adapter_config
+    from consistentid_tpu.pipelines.consistentid_sdxl import \
+        ConsistentIDXLPipeline
+    from consistentid_tpu.core.config import sdxl_unet_config
+    from consistentid_tpu.conditioning import SimpleTokenizer
+    from PIL import Image
+
+    bundle = SDXLBundle(
+        unet_config=sdxl_unet_config(lora_rank=128, ip_num_tokens=4),
+        adapter_config=sdxl_adapter_config(),
+        dtype=jnp.bfloat16,
+    )
+    params = bundle.fast_random_params(jax.random.PRNGKey(0))
+    steps_a, steps_b = 10, 30
+    pipe = ConsistentIDXLPipeline(
+        bundle, params, SimpleTokenizer(),
+        pipeline_config=PipelineConfig(height=1024, width=1024,
+                                       num_inference_steps=steps_b,
+                                       guidance_scale=7.5,
+                                       start_merge_step=30))
+    face = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (512, 512, 3), np.uint8))
+    labels = np.zeros((512, 512), np.uint8)
+    labels[100:400, 100:400] = 1
+    labels[250:300, 230:290] = 10
+    kw = dict(parsing_labels=labels,
+              faceid_embeds=np.zeros((1, 512), np.float32))
+
+    def run(n, seed):
+        t0 = time.perf_counter()
+        pipe.generate("portrait photo of a man with a strong face", face,
+                      seed=seed, num_inference_steps=n, **kw)
+        return time.perf_counter() - t0
+
+    run(steps_a, 0)  # compile both step counts
+    run(steps_b, 0)
+    ta = min(run(steps_a, i + 1) for i in range(args.iters))
+    tb = min(run(steps_b, i + 1) for i in range(args.iters))
+    step_time = (tb - ta) / (steps_b - steps_a)
+    # no published reference number; target heuristic: <=0.25 s/step at
+    # 1024px CFG on one v5e chip
+    print(json.dumps({
+        "metric": "SDXL 1024px CFG denoise step time",
+        "value": round(step_time, 4),
+        "unit": "s/step",
+        "vs_baseline": round(0.25 / max(step_time, 1e-9), 3),
     }))
 
 

@@ -16,8 +16,6 @@ scatter — one compiled XLA program, no data-dependent shapes.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ tests/test_adapter_parity.py):
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

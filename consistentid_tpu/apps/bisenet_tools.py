@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Dict, Optional
-
 import numpy as np
 
 # CelebAMask-HQ part file suffixes -> our 19-class label ids (the combine

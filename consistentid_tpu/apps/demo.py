@@ -6,9 +6,6 @@ is reused across requests.
 """
 from __future__ import annotations
 
-import argparse
-
-
 def build_interface(pipe):
     import gradio as gr
 

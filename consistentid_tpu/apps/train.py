@@ -44,8 +44,6 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from ..core.cache import enable_compilation_cache
     from ..core.config import (AdapterConfig, SchedulerConfig, TrainConfig,
@@ -63,7 +61,7 @@ def main(argv=None):
     from ..sampling import NoiseSchedule
     from ..training import (FGIDDataset, create_train_state, make_train_step,
                             warm_start_ip_projections)
-    from ..utils.profiling import MetricsLogger, StepTimer, trace
+    from ..utils.profiling import MetricsLogger, StepTimer
 
     initialize_multihost()
     mesh = make_mesh()

@@ -7,11 +7,8 @@ serialized into checkpoints and hashed for jit cache keys.
 """
 from __future__ import annotations
 
-import dataclasses
-from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
-
-import jax.numpy as jnp
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 
 def _freeze(x):

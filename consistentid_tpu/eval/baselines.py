@@ -8,7 +8,6 @@ concatenated to 2048) fused into the prompt embeds at trigger positions.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..adapter.modules import FuseModule

@@ -10,7 +10,7 @@ or io.safetensors_reader.read_safetensors output).
 """
 from __future__ import annotations
 
-from typing import Dict, Mapping, Tuple
+from typing import Dict, Mapping
 
 import numpy as np
 

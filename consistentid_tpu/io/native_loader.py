@@ -13,7 +13,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

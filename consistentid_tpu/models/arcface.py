@@ -17,7 +17,7 @@ zero-fallback path degrades (:220-221).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -13,8 +13,6 @@ full hidden-state stack index we need.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ outputs, so only backbone conversion remains when packs are available.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

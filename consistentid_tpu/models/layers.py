@@ -9,7 +9,7 @@ NHWC so convolutions map directly onto TPU's preferred layout.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

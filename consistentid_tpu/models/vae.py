@@ -8,7 +8,7 @@ downsample padding.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

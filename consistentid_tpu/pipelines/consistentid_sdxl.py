@@ -17,21 +17,16 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from PIL import Image
 
-from ..adapter import FacialEncoder, ProjPlusModel
-from ..core.config import (AdapterConfig, CLIPTextConfig, CLIPVisionConfig,
-                           PipelineConfig, SchedulerConfig, UNetConfig,
-                           VAEConfig, clip_text_bigg_config,
-                           clip_text_l_config, sdxl_unet_config)
-from ..models import AutoencoderKL, CLIPTextEncoder, CLIPVisionEncoder, UNet
-from ..sampling import CondBranch, NoiseSchedule, denoise, make_plan
-from ..utils.image import postprocess_to_uint8
+from ..core.config import (AdapterConfig, CLIPTextConfig,
+                           PipelineConfig, clip_text_bigg_config)
+from ..models import AutoencoderKL, CLIPTextEncoder
+from ..sampling import CondBranch, denoise, make_plan
 from .consistentid_sd15 import ConsistentIDPipeline, SD15Bundle
 
 

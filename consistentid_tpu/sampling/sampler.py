@@ -17,7 +17,7 @@ eps = eps_uncond + g * (eps_cond - eps_uncond).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

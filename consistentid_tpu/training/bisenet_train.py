@@ -14,7 +14,6 @@ equivalent — see also ops/fused_bn_act.sync_batch_norm_act).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

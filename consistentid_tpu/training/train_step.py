@@ -9,13 +9,10 @@ frozen, train.py:120-123,181-195).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
-import flax
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import traverse_util
 from jax.sharding import Mesh, PartitionSpec as P

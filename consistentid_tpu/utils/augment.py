@@ -5,8 +5,6 @@ arrays so they compose with the native loader.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 

@@ -6,8 +6,6 @@ equivalents producing NHWC fp32 arrays.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 from PIL import Image
 
