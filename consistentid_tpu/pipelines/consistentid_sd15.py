@@ -112,20 +112,31 @@ class SD15Bundle:
             functools.partial(self.init_params, latent_hw=latent_hw), rng)
         leaves, treedef = jax.tree_util.tree_flatten(shapes)
 
-        # one fused on-device program: a fresh fold_in per leaf, no host
-        # transfers (per-buffer transfers are slow through remote-TPU tunnels)
-        @jax.jit
-        def fill(key):
-            out = []
-            for i, s in enumerate(leaves):
-                if jnp.issubdtype(s.dtype, jnp.floating):
-                    out.append(jax.random.normal(
-                        jax.random.fold_in(key, i), s.shape, s.dtype) * stddev)
-                else:
-                    out.append(jnp.zeros(s.shape, s.dtype))
-            return treedef.unflatten(out)
+        # fused on-device fill in chunks: per-buffer host transfers are slow
+        # through remote-TPU tunnels, and one giant graph (SDXL has ~1900
+        # leaves) can OOM the compile service — ~256 RNG ops per program
+        chunk = 256
 
-        return fill(rng)
+        def make_fill(chunk_shapes, base):
+            @jax.jit
+            def fill(key):
+                out = []
+                for i, s in enumerate(chunk_shapes):
+                    if jnp.issubdtype(s.dtype, jnp.floating):
+                        out.append(jax.random.normal(
+                            jax.random.fold_in(key, base + i), s.shape,
+                            s.dtype) * stddev)
+                    else:
+                        out.append(jnp.zeros(s.shape, s.dtype))
+                return out
+
+            return fill
+
+        filled = []
+        for start in range(0, len(leaves), chunk):
+            part = leaves[start:start + chunk]
+            filled.extend(make_fill(part, start)(rng))
+        return treedef.unflatten(filled)
 
     def init_params(self, rng: jax.Array, latent_hw: int = 8) -> Dict:
         """Random-init the full param bundle (tests / training-from-scratch)."""
