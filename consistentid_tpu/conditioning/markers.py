@@ -60,15 +60,20 @@ def remove_duplicate_keywords(text: str,
     return " ".join(tokens)
 
 
-def process_text_with_markers(text: str, parsing_mask_list: Dict) -> Tuple[str, Dict]:
+def process_text_with_markers(text: str, parsing_mask_list: Dict,
+                              keywords=FACIAL_KEYWORDS) -> Tuple[str, Dict]:
     """Insert `<|facial|>` markers after each region keyword's first mention
     and reorder the caption into one clause per region.
 
     `parsing_mask_list` (region-name -> mask) is mutated: entries whose
     keyword never appears in the caption are removed, so the surviving dict
     aligns 1:1 with the markers in the returned caption.
+
+    `keywords` sets the dedup priority order; the reference's evaluation
+    duplicate differs from the training one only here
+    (evaluation/eval_function.py:376 orders eyes before ears).
     """
-    text = remove_duplicate_keywords(text, FACIAL_KEYWORDS)
+    text = remove_duplicate_keywords(text, keywords)
 
     features: List[str] = []
     markers: List[str] = []
