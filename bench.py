@@ -20,6 +20,8 @@ def main():
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--batch", type=int, default=1,
+                   help="num_images_per_prompt (serving throughput)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config smoke mode (CI)")
     p.add_argument("--sdxl", action="store_true",
@@ -75,7 +77,8 @@ def main():
     labels[330:370, 200:320] = 12
     faceid = np.random.RandomState(1).randn(1, id_dim).astype(np.float32)
 
-    kw = dict(parsing_labels=labels, faceid_embeds=faceid)
+    kw = dict(parsing_labels=labels, faceid_embeds=faceid,
+              num_images_per_prompt=args.batch)
     # warmup / compile
     img = pipe.generate("portrait photo of a man with a strong face, "
                         "blue eyes, a sharp nose and a wide mouth",
@@ -89,7 +92,7 @@ def main():
                       face, seed=i + 1, **kw)
     dt = (time.perf_counter() - t0) / args.iters
 
-    images_per_min = 60.0 / dt
+    images_per_min = 60.0 * args.batch / dt
     print(json.dumps({
         "metric": f"SD1.5 {args.height}px {args.steps}-step ConsistentID "
                   "images/min/chip",
