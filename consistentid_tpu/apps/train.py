@@ -120,9 +120,17 @@ def main(argv=None):
                     * config.grad_accum_steps)
 
     step = int(state.step)
+    profiling = False
     for batch in dataset.batches(global_batch, epochs=args.epochs):
         if step >= config.max_steps:
             break
+        if args.profile_dir and step == 2 and not profiling:
+            # skip compile steps, then capture a 8-step device trace
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
+        if profiling and step == 10:
+            jax.profiler.stop_trace()
+            profiling = False
         if config.grad_accum_steps > 1:
             batch = {k: v.reshape(config.grad_accum_steps, -1, *v.shape[1:])
                      for k, v in batch.items()}
