@@ -295,7 +295,11 @@ class ConsistentIDPipeline:
     # ---------------- jitted core ----------------
 
     def encode_embeddings(self, params, cond, ip_scale=1.0):
-        """Build (null, augmented, text_only) 81-token embedding triple."""
+        """Build (null, augmented, text_only) 81-token embedding triple.
+
+        Works for request batches: every cond field may have leading dim
+        B > 1 (stacked requests), giving one batched graph for the whole
+        encode (B*(1+5)+1 ViT images in a single forward)."""
         b = self.bundle
         a = b.adapter_config
         text_apply = functools.partial(b.text_encoder.apply,
@@ -304,17 +308,19 @@ class ConsistentIDPipeline:
         enc_text_only, _ = text_apply(cond["text_only_ids"])
         enc_negative, _ = text_apply(cond["negative_ids"])
 
-        # one batched ViT forward: [face, zeros, region_0..4]
+        # one batched ViT forward: [face x B, zeros, regions x B*5]
         size = b.vision_config.image_size
-        regions = cond["region_pixels"][0]                      # (5, S, S, 3)
+        bs, n_regions = cond["region_pixels"].shape[:2]
+        regions = cond["region_pixels"].reshape(-1, size, size, 3)
         vit_in = jnp.concatenate(
             [cond["face_pixels"], jnp.zeros((1, size, size, 3),
                                             cond["face_pixels"].dtype),
              regions], axis=0)
         _, penult = b.image_encoder.apply(
             {"params": params["image_encoder"]}, vit_in)
-        face_emb, zero_emb = penult[0:1], penult[1:2]
-        region_embs = penult[2:][None]                          # (1,5,257,C)
+        face_emb, zero_emb = penult[:bs], penult[bs:bs + 1]
+        region_embs = penult[bs + 1:].reshape(
+            bs, n_regions, *penult.shape[1:])
         zero_regions = jnp.broadcast_to(
             zero_emb[:, None], region_embs.shape)
 
@@ -322,8 +328,9 @@ class ConsistentIDPipeline:
         faceid_tokens = proj_apply(cond["faceid_embeds"], face_emb,
                                    shortcut=a.shortcut,
                                    scale=a.shortcut_scale)
+        zero_emb_b = jnp.broadcast_to(zero_emb, (bs, *zero_emb.shape[1:]))
         uncond_faceid_tokens = proj_apply(
-            jnp.zeros_like(cond["faceid_embeds"]), zero_emb,
+            jnp.zeros_like(cond["faceid_embeds"]), zero_emb_b,
             shortcut=a.shortcut, scale=a.shortcut_scale)
 
         fe_apply = functools.partial(b.facial_encoder.apply,
@@ -419,4 +426,51 @@ class ConsistentIDPipeline:
             num_steps, scheduler, ip_scale, lora_scale)
         if return_latents:
             return np.asarray(images)
+        return postprocess_to_uint8(np.asarray(images))
+
+    def generate_batch(
+        self,
+        prompts,
+        face_images,
+        negative_prompts=None,
+        seed: int = 0,
+        parsing_labels_list=None,
+        faceid_embeds_list=None,
+        **kwargs,
+    ) -> np.ndarray:
+        """Batch distinct requests through one compiled graph: conditioning
+        is prepared per request on the host, stacked, and the whole
+        encode+denoise+decode runs once at batch len(prompts). The serving /
+        eval-sweep throughput path."""
+        cfg = self.config
+        n = len(prompts)
+        negative_prompts = negative_prompts or [""] * n
+        conds = []
+        for i in range(n):
+            conds.append(self.prepare_conditioning(
+                prompts[i], face_images[i],
+                parsing_labels=(parsing_labels_list[i]
+                                if parsing_labels_list else None),
+                faceid_embeds=(faceid_embeds_list[i]
+                               if faceid_embeds_list else None),
+                negative_prompt=negative_prompts[i]))
+        cond = {k: jnp.asarray(np.concatenate([c[k] for c in conds]))
+                for k in conds[0]}
+
+        height = kwargs.pop("height", cfg.height)
+        width = kwargs.pop("width", cfg.width)
+        num_steps = kwargs.pop("num_inference_steps",
+                               cfg.num_inference_steps)
+        scheduler = kwargs.pop("scheduler", cfg.scheduler)
+        guidance = kwargs.pop("guidance_scale", cfg.guidance_scale)
+        merge = kwargs.pop("start_merge_step", cfg.start_merge_step)
+        sf = self.bundle.vae_scale_factor
+        latents = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (n, height // sf, width // sf,
+             self.bundle.unet_config.sample_channels), jnp.float32)
+        images = self._core_jit(
+            self.params, cond, latents, jnp.float32(guidance),
+            jnp.int32(merge), num_steps, scheduler,
+            kwargs.pop("ip_scale", 1.0), kwargs.pop("lora_scale", 1.0))
         return postprocess_to_uint8(np.asarray(images))

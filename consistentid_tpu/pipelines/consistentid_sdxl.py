@@ -165,14 +165,19 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
         final = denoise(unet_fn, latents, text_b, facial_b, plan,
                         guidance_scale, start_merge_step,
                         time_ids=time_ids)
-        # fp32 VAE decode (SDXL force_upcast path, reference :670-672)
-        vae_params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.float32) if jnp.issubdtype(
-                x.dtype, jnp.floating) else x, params["vae"])
-        fp32_vae = AutoencoderKL(self.bundle.vae_config, dtype=jnp.float32)
-        return fp32_vae.apply({"params": vae_params},
-                              final.astype(jnp.float32),
-                              method=AutoencoderKL.decode)
+        if self.bundle.vae_config.force_upcast:
+            # fp32 VAE decode (SDXL force_upcast path, reference :670-672 —
+            # gated on the vae config exactly like the reference)
+            vae_params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32) if jnp.issubdtype(
+                    x.dtype, jnp.floating) else x, params["vae"])
+            fp32_vae = AutoencoderKL(self.bundle.vae_config,
+                                     dtype=jnp.float32)
+            return fp32_vae.apply({"params": vae_params},
+                                  final.astype(jnp.float32),
+                                  method=AutoencoderKL.decode)
+        return self.bundle.vae.apply({"params": params["vae"]}, final,
+                                     method=AutoencoderKL.decode)
 
     def prepare_conditioning(self, prompt, face_image, parsing_labels=None,
                              faceid_embeds=None, face_caption=None,

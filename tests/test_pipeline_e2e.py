@@ -140,3 +140,21 @@ def test_generate_sharded_over_mesh():
                          seed=1, num_images_per_prompt=8)
     assert imgs.shape == (8, 32, 32, 3)
     assert not np.array_equal(imgs[0], imgs[1])
+
+
+def test_generate_batch_distinct_requests(pipeline):
+    """Distinct prompts/faces batched through one compiled graph must match
+    the same requests run individually."""
+    face, labels = synthetic_face_inputs()
+    rng = np.random.RandomState(3)
+    face2 = Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8))
+    fid1 = np.zeros((1, 16), np.float32)
+    fid2 = rng.randn(1, 16).astype(np.float32)
+
+    batch = pipeline.generate_batch(
+        ["a man with a face", "a woman with blue eyes"],
+        [face, face2],
+        parsing_labels_list=[labels, labels],
+        faceid_embeds_list=[fid1, fid2], seed=11)
+    assert batch.shape == (2, 32, 32, 3)
+    assert not np.array_equal(batch[0], batch[1])
