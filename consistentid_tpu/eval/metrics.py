@@ -54,6 +54,15 @@ class CLIPTScorer:
         self.tokenizer = tokenizer
         self.text_projection = text_projection
         self.visual_projection = visual_projection
+        t_dim = bundle.text_config.hidden_size if text_projection is None \
+            else np.asarray(text_projection).shape[1]
+        v_dim = bundle.vision_config.hidden_size if visual_projection is None \
+            else np.asarray(visual_projection).shape[1]
+        if t_dim != v_dim:
+            raise ValueError(
+                f"CLIP-T needs a shared embedding space: text {t_dim} vs "
+                f"vision {v_dim}; pass the CLIP text_projection / "
+                "visual_projection weights")
 
         @jax.jit
         def score(text_ids, pixels):

@@ -60,33 +60,49 @@ def run_sweep(
     seed: int = 2024,
     shard_index: int = 0,
     num_shards: int = 1,
+    batch_size: int = 1,
     **generate_kwargs,
 ) -> SweepResult:
-    """Generate + score every (identity, prompt, style) row of this shard."""
+    """Generate + score every (identity, prompt, style) row of this shard.
+    batch_size > 1 stacks distinct rows through pipeline.generate_batch
+    (one TPU execution per batch)."""
     result = SweepResult()
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
-    for i, row in enumerate(rows):
-        if i % num_shards != shard_index:
-            continue
-        ref_image = Image.open(os.path.join(image_root, row.image_name))
-        prompt, negative = apply_style(row.style, row.prompt)
+    my_rows = [(i, r) for i, r in enumerate(rows)
+               if i % num_shards == shard_index]
+
+    for start in range(0, len(my_rows), batch_size):
+        chunk = my_rows[start:start + batch_size]
+        ref_images, prompts, negatives = [], [], []
+        for _, row in chunk:
+            ref_images.append(
+                Image.open(os.path.join(image_root, row.image_name)))
+            p, n = apply_style(row.style, row.prompt)
+            prompts.append(p)
+            negatives.append(n)
         t0 = time.perf_counter()
-        img = pipeline.generate(prompt, ref_image,
-                                negative_prompt=negative, seed=seed,
-                                **generate_kwargs)
-        dt = time.perf_counter() - t0
-        pil = Image.fromarray(img[0])
-        rec: Dict = {"image_name": row.image_name, "prompt": row.prompt,
-                     "style": row.style, "latency_s": float(dt)}
-        if face_sim_scorer is not None:
-            rec["face_sim"] = float(face_sim_scorer(ref_image, pil))
-        if clip_t_scorer is not None:
-            rec["clip_t"] = float(clip_t_scorer(row.prompt, pil))
-        if output_dir:
-            name = f"{os.path.splitext(row.image_name)[0]}_{i:05d}.png"
-            pil.save(os.path.join(output_dir, name))
-        result.rows.append(rec)
+        if len(chunk) == 1:
+            imgs = pipeline.generate(prompts[0], ref_images[0],
+                                     negative_prompt=negatives[0], seed=seed,
+                                     **generate_kwargs)
+        else:
+            imgs = pipeline.generate_batch(prompts, ref_images,
+                                           negative_prompts=negatives,
+                                           seed=seed, **generate_kwargs)
+        dt = (time.perf_counter() - t0) / len(chunk)
+        for (i, row), ref_image, img in zip(chunk, ref_images, imgs):
+            pil = Image.fromarray(img)
+            rec: Dict = {"image_name": row.image_name, "prompt": row.prompt,
+                         "style": row.style, "latency_s": float(dt)}
+            if face_sim_scorer is not None:
+                rec["face_sim"] = float(face_sim_scorer(ref_image, pil))
+            if clip_t_scorer is not None:
+                rec["clip_t"] = float(clip_t_scorer(row.prompt, pil))
+            if output_dir:
+                name = f"{os.path.splitext(row.image_name)[0]}_{i:05d}.png"
+                pil.save(os.path.join(output_dir, name))
+            result.rows.append(rec)
     if output_dir:
         with open(os.path.join(output_dir,
                                f"results_shard{shard_index}.json"), "w") as f:

@@ -123,9 +123,13 @@ class SD15Bundle:
                 out = []
                 for i, s in enumerate(chunk_shapes):
                     if jnp.issubdtype(s.dtype, jnp.floating):
+                        # flax param_dtype defaults to fp32 even under a bf16
+                        # compute dtype; store at the bundle dtype (halves
+                        # HBM + weight bandwidth, like the cast the real
+                        # checkpoint loaders apply)
                         out.append(jax.random.normal(
                             jax.random.fold_in(key, base + i), s.shape,
-                            s.dtype) * stddev)
+                            self.dtype) * stddev)
                     else:
                         out.append(jnp.zeros(s.shape, s.dtype))
                 return out

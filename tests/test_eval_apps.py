@@ -135,3 +135,51 @@ def test_fgid_dataset_bad_sample_fallback(tmp_path):
     ok = ds[0]
     fallback = ds[1]  # broken -> substitutes sample 0
     np.testing.assert_array_equal(ok["images"], fallback["images"])
+
+
+def test_run_sweep_batched(tmp_path):
+    from consistentid_tpu.conditioning import SimpleTokenizer
+    from consistentid_tpu.core import PipelineConfig
+    from consistentid_tpu.eval import SweepRow, run_sweep
+    from consistentid_tpu.pipelines import ConsistentIDPipeline
+    from tests.test_pipeline_e2e import synthetic_face_inputs, tiny_bundle
+
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    face, labels = synthetic_face_inputs()
+    pipe = ConsistentIDPipeline(
+        bundle, params, SimpleTokenizer(),
+        pipeline_config=PipelineConfig(height=32, width=32,
+                                       num_inference_steps=2,
+                                       start_merge_step=1),
+        face_parser=lambda img: labels,
+        face_embedder=lambda img: np.zeros((1, 16), np.float32))
+    img_root = tmp_path / "ids"
+    img_root.mkdir()
+    face.save(img_root / "id0.png")
+    rows = [SweepRow("id0.png", f"a man with a face number {i}")
+            for i in range(3)]
+    res = run_sweep(pipe, rows, str(img_root), batch_size=2)
+    assert len(res.rows) == 3
+
+
+def test_clip_t_scorer_with_tiny_bundle():
+    from consistentid_tpu.conditioning import SimpleTokenizer
+    from consistentid_tpu.eval import CLIPTScorer
+    from tests.test_pipeline_e2e import tiny_bundle
+
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    # projection heads map both towers to a shared 16-d space
+    tp = rng.randn(bundle.text_config.hidden_size, 16).astype(np.float32)
+    vp = rng.randn(bundle.vision_config.hidden_size, 16).astype(np.float32)
+    scorer = CLIPTScorer(bundle, params, SimpleTokenizer(),
+                         text_projection=tp, visual_projection=vp)
+    img = Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (64, 64, 3), np.uint8))
+    s = scorer("a man with a face", img)
+    assert -1.0 <= s <= 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        CLIPTScorer(bundle, params, SimpleTokenizer())
