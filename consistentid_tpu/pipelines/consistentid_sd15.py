@@ -298,7 +298,7 @@ class ConsistentIDPipeline:
 
     # ---------------- jitted core ----------------
 
-    def encode_embeddings(self, params, cond, ip_scale=1.0):
+    def encode_embeddings(self, params, cond):
         """Build (null, augmented, text_only) 81-token embedding triple.
 
         Works for request batches: every cond field may have leading dim

@@ -158,3 +158,32 @@ def test_generate_batch_distinct_requests(pipeline):
         faceid_embeds_list=[fid1, fid2], seed=11)
     assert batch.shape == (2, 32, 32, 3)
     assert not np.array_equal(batch[0], batch[1])
+
+
+def test_bf16_pipeline_consistency():
+    """bf16 bundle must stay close to the fp32 pipeline on the same weights
+    (the dtype policy's numerical sanity check)."""
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from consistentid_tpu.core.dtypes import cast_floating
+
+    b32 = tiny_bundle()
+    params32 = b32.init_params(jax.random.PRNGKey(0))
+    b16 = tiny_bundle()
+    b16.dtype = jnp.bfloat16
+    b16.__post_init__()  # rebuild modules with bf16 compute dtype
+    params16 = cast_floating(params32, jnp.bfloat16)
+
+    cfgkw = dict(pipeline_config=PipelineConfig(height=32, width=32,
+                                                num_inference_steps=2,
+                                                start_merge_step=1))
+    p32 = ConsistentIDPipeline(b32, params32, SimpleTokenizer(), **cfgkw)
+    p16 = ConsistentIDPipeline(b16, params16, SimpleTokenizer(), **cfgkw)
+    face, labels = synthetic_face_inputs()
+    kw = dict(parsing_labels=labels,
+              faceid_embeds=np.zeros((1, 16), np.float32), seed=2)
+    a = p32.generate("a man with a face", face, **kw).astype(np.int32)
+    b = p16.generate("a man with a face", face, **kw).astype(np.int32)
+    # uint8 images from random weights: require close agreement
+    assert np.mean(np.abs(a - b)) < 16, np.mean(np.abs(a - b))
