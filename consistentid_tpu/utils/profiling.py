@@ -60,15 +60,26 @@ class StepTimer:
 
 
 class MetricsLogger:
-    """JSONL metrics stream + console line, gated to process 0."""
+    """JSONL metrics stream + console line + optional TensorBoard scalars,
+    gated to process 0 (the reference plumbs report_to=tensorboard but never
+    writes scalars, utils.py:309-313 / SURVEY.md §5)."""
 
-    def __init__(self, log_dir: Optional[str] = None, echo: bool = True):
+    def __init__(self, log_dir: Optional[str] = None, echo: bool = True,
+                 tensorboard: bool = True):
         self.is_main = jax.process_index() == 0
         self.echo = echo
         self._f = None
+        self._tb = None
         if log_dir and self.is_main:
             os.makedirs(log_dir, exist_ok=True)
             self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            if tensorboard:
+                try:
+                    from flax.metrics.tensorboard import SummaryWriter
+                    self._tb = SummaryWriter(
+                        os.path.join(log_dir, "tensorboard"))
+                except Exception:
+                    self._tb = None
 
     def log(self, step: int, metrics: Dict):
         if not self.is_main:
@@ -78,6 +89,10 @@ class MetricsLogger:
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k != "step":
+                    self._tb.scalar(k, v, step=rec["step"])
         if self.echo:
             parts = " ".join(f"{k}={v:.5g}" for k, v in rec.items()
                              if k != "step")
@@ -86,3 +101,5 @@ class MetricsLogger:
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
