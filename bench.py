@@ -20,8 +20,9 @@ def main():
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--batch", type=int, default=1,
-                   help="num_images_per_prompt (serving throughput)")
+    p.add_argument("--batch", type=int, default=4,
+                   help="num_images_per_prompt (serving throughput; 1 for\n"
+                        "single-image latency)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config smoke mode (CI)")
     p.add_argument("--sdxl", action="store_true",
@@ -95,7 +96,7 @@ def main():
     images_per_min = 60.0 * args.batch / dt
     print(json.dumps({
         "metric": f"SD1.5 {args.height}px {args.steps}-step ConsistentID "
-                  "images/min/chip",
+                  f"images/min/chip (batch {args.batch})",
         "value": round(images_per_min, 3),
         "unit": "images/min",
         "vs_baseline": round(images_per_min / 30.0, 3),
