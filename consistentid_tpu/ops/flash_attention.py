@@ -80,25 +80,18 @@ def _flash_diff(q, k, v, sm_scale):
 
 
 def _flash_diff_fwd(q, k, v, sm_scale):
-    return _flash_forward(q, k, v, sm_scale), (q, k, v)
+    out, lse = _flash_forward_lse(q, k, v, sm_scale)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_diff_bwd(sm_scale, res, g):
-    """Backward via standard attention recompute (XLA). The forward never
-    materializes probs; the backward recomputes them once — trading HBM for
-    FLOPs like jax.checkpoint. A fully blockwise Pallas backward is a later
-    optimization; this keeps flash usable under jax.grad today."""
-    q, k, v = res
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) * sm_scale
-    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * sm_scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * sm_scale
+    """Blockwise Pallas backward (standard flash-attention bwd): one kernel
+    sweep over q blocks for dQ, one over k blocks for dK/dV, recomputing
+    probabilities from the saved logsumexp — (Sq, Sk) probs never touch HBM
+    (the guide's §7 pattern)."""
+    q, k, v, out, lse = res
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dq, dk, dv = _flash_backward(q, k, v, g, lse, delta, sm_scale)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -189,3 +182,248 @@ def _flash_forward(
     )(qf, kf, vf)
 
     return out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
+
+
+# -- differentiable path: forward with logsumexp + blockwise backward ---------
+
+def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                          block_k: int, sm_scale: float, kv_len: int):
+    """Forward that also emits per-row logsumexp for the backward."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    block_q, d = q.shape
+    padded_kv = k_ref.shape[1]
+    num_kb = padded_kv // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if padded_kv != kv_len:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col + i * block_k < kv_len, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc * alpha + pv
+        return acc, m_new, l_new
+
+    init = (
+        jnp.zeros((block_q, d), jnp.float32),
+        jnp.full((block_q, 1), NEG_INF, jnp.float32),
+        jnp.zeros((block_q, 1), jnp.float32),
+    )
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, init)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))      # (bq, 1)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, block_k: int, sm_scale: float,
+                         kv_len: int):
+    """dQ for one q block: stream K/V, recompute p from lse."""
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]          # (bq, 1)
+    delta = delta_ref[0]      # (bq, 1)
+    block_q, d = q.shape
+    padded_kv = k_ref.shape[1]
+    num_kb = padded_kv // block_k
+
+    def body(i, dq):
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if padded_kv != kv_len:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col + i * block_k < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)                                  # (bq, bk)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (bq, bk)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_kb,
+                           body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, block_q: int, sm_scale: float,
+                          kv_len: int, padded_kv: int):
+    """dK/dV for one k block: stream Q/dO blocks. Zero-padded q rows carry
+    zero dO and delta, so they contribute nothing without extra masks."""
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    block_k, d = k_blk.shape
+    padded_q = q_ref.shape[1]
+    num_qb = padded_q // block_q
+    kb = pl.program_id(1)
+
+    def body(j, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(j * block_q, block_q), :]      # (bq, 1)
+        delta = delta_ref[0, pl.ds(j * block_q, block_q), :]  # (bq, 1)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale    # (bq, bk)
+        if padded_kv != kv_len:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col + kb * block_k < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (bk, d)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (bq, bk)
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (bk, d)
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(
+        0, num_qb, body, (jnp.zeros((block_k, d), jnp.float32),
+                          jnp.zeros((block_k, d), jnp.float32)))
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _pad_attn(q, k, v, block_q, block_k):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bq = min(block_q, _round_up(sq, 128))
+    bk = min(block_k, _round_up(sk, 128))
+    sq_p, sk_p, d_p = _round_up(sq, bq), _round_up(sk, bk), _round_up(d, 128)
+    pad3 = lambda t, s_p: jnp.pad(
+        t, ((0, 0), (0, 0), (0, s_p - t.shape[2]), (0, d_p - d))).reshape(
+        b * h, s_p, d_p)
+    return pad3(q, sq_p), pad3(k, sk_p), pad3(v, sk_p), bq, bk, sq_p, sk_p, d_p
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "block_q", "block_k",
+                                    "interpret"))
+def _flash_forward_lse(q, k, v, sm_scale, *, block_q: int = 256,
+                       block_k: int = 512, interpret: bool = False):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    qf, kf, vf, bq, bk, sq_p, sk_p, d_p = _pad_attn(q, k, v, block_q, block_k)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_lse_kernel, block_k=bk,
+                          sm_scale=sm_scale, kv_len=sk),
+        grid=(b * h, sq_p // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_p), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d_p), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b * h, sq_p, d_p), q.dtype),
+                   jax.ShapeDtypeStruct((b * h, sq_p, 1), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return (out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d],
+            lse.reshape(b, h, sq_p)[:, :, :sq])  # caller sees (b, h, sq)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "block_q", "block_k",
+                                    "interpret"))
+def _flash_backward(q, k, v, do, lse, delta, sm_scale, *, block_q: int = 256,
+                    block_k: int = 512, interpret: bool = False):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    qf, kf, vf, bq, bk, sq_p, sk_p, d_p = _pad_attn(q, k, v, block_q, block_k)
+    dof = jnp.pad(do, ((0, 0), (0, 0), (0, sq_p - sq),
+                       (0, d_p - d))).reshape(b * h, sq_p, d_p)
+    lsef = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq))).reshape(
+        b * h, sq_p, 1)
+    deltaf = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq))).reshape(
+        b * h, sq_p, 1)
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=bk,
+                          sm_scale=sm_scale, kv_len=sk),
+        grid=(b * h, sq_p // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_p), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d_p), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_p), lambda bh, i: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d_p), jnp.float32),
+        **common,
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=bq,
+                          sm_scale=sm_scale, kv_len=sk, padded_kv=sk_p),
+        grid=(b * h, sk_p // bk),
+        in_specs=[
+            pl.BlockSpec((1, bk, d_p), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d_p), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_p, d_p), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_p, d_p), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_p, 1), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_p, 1), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d_p), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d_p), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b * h, sk_p, d_p), jnp.float32),
+                   jax.ShapeDtypeStruct((b * h, sk_p, d_p), jnp.float32)),
+        **common,
+    )(kf, vf, qf, dof, lsef, deltaf)
+
+    unpad_q = lambda t: t.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
+    unpad_k = lambda t: t.reshape(b, h, sk_p, d_p)[:, :, :sk, :d]
+    return unpad_q(dq), unpad_k(dk), unpad_k(dv)

@@ -59,18 +59,48 @@ def test_flash_gradients_match_reference():
         return jnp.sum(reference_attention(q, k, v) ** 2)
 
     if jax.default_backend() != "tpu":
-        # the kernel forward needs interpret mode on CPU; check bwd math only
+        # exercise the blockwise backward kernels in interpret mode
+        from consistentid_tpu.ops.flash_attention import (_flash_backward,
+                                                          _flash_forward_lse)
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-        from consistentid_tpu.ops.flash_attention import _flash_diff_bwd
-        out = reference_attention(q, k, v)
+        out, lse = _flash_forward_lse(q, k, v, 64 ** -0.5, interpret=True)
         g = jax.grad(lambda o: jnp.sum(o ** 2))(out)
-        dq, dk, dv = _flash_diff_bwd(64 ** -0.5, (q, k, v), g)
+        delta = jnp.sum(g * out, axis=-1)
+        dq, dk, dv = _flash_backward(q, k, v, g, lse, delta, 64 ** -0.5,
+                                     interpret=True)
         for got, want in zip((dq, dk, dv), g_ref):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                       atol=1e-4, rtol=1e-4)
+                                       atol=1e-3, rtol=1e-3)
     else:
         g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for got, want in zip(g_flash, g_ref):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=2e-2, rtol=1e-2)
+
+
+def test_flash_backward_padded_shapes():
+    """Padding in q/k/v dims must not corrupt gradients (interpret mode)."""
+    from consistentid_tpu.ops.flash_attention import (_flash_backward,
+                                                      _flash_forward_lse)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    b, h, sq, sk, d = 1, 2, 300, 77, 40   # everything unaligned
+    q = jax.random.normal(k1, (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(k2, (b, h, sk, d), jnp.float32)
+    v = jax.random.normal(k3, (b, h, sk, d), jnp.float32)
+    interp = jax.default_backend() != "tpu"
+    out, lse = _flash_forward_lse(q, k, v, d ** -0.5, interpret=interp)
+    g = jnp.ones_like(out)
+    delta = jnp.sum(g * out, axis=-1)
+    dq, dk, dv = _flash_backward(q, k, v, g, lse, delta, d ** -0.5,
+                                 interpret=interp)
+
+    def loss(q, k, v):
+        return jnp.sum(reference_attention(q, k, v))
+
+    rq, rk, rv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    tol = 2e-2 if not interp else 2e-3
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=tol)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=tol)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=tol)
