@@ -183,3 +183,18 @@ def test_clip_t_scorer_with_tiny_bundle():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         CLIPTScorer(bundle, params, SimpleTokenizer())
+
+
+def test_captioner_interfaces():
+    from consistentid_tpu.conditioning.captioner import (TemplateCaptioner,
+                                                         VLMCaptioner)
+
+    cap, detail = TemplateCaptioner()(None)
+    assert "face" in detail
+
+    class FakeVLM:
+        def generate(self, image, prompt):
+            return f"resp:{prompt[:10]}"
+
+    cap2, detail2 = VLMCaptioner(FakeVLM())(None)
+    assert cap2.startswith("resp:") and detail2.startswith("resp:")
