@@ -198,3 +198,23 @@ def test_captioner_interfaces():
 
     cap2, detail2 = VLMCaptioner(FakeVLM())(None)
     assert cap2.startswith("resp:") and detail2.startswith("resp:")
+
+
+def test_run_sweep_sharding_partitions_rows(tmp_path):
+    """Host-level shard_index/num_shards must partition the sweep without
+    overlap or loss (the multi-host eval fan-out)."""
+    from consistentid_tpu.eval import SweepRow, run_sweep
+
+    class FakePipe:
+        def generate(self, prompt, image, negative_prompt="", seed=0, **kw):
+            return np.zeros((1, 8, 8, 3), np.uint8)
+
+    img_root = tmp_path
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_root / "a.png")
+    rows = [SweepRow("a.png", f"p{i}") for i in range(7)]
+    seen = []
+    for shard in range(3):
+        res = run_sweep(FakePipe(), rows, str(img_root), shard_index=shard,
+                        num_shards=3)
+        seen.extend(r["prompt"] for r in res.rows)
+    assert sorted(seen) == sorted(f"p{i}" for i in range(7))
