@@ -46,7 +46,7 @@ def main():
     from consistentid_tpu.conditioning import SimpleTokenizer
 
     if args.tiny:
-        from tests.test_pipeline_e2e import tiny_bundle
+        from consistentid_tpu.testing import tiny_bundle
         bundle = tiny_bundle()
         id_dim = 16
     else:

@@ -1,0 +1,48 @@
+"""Tiny random-weight model bundles for tests and driver dry-runs.
+
+These configs shrink every tower (UNet / VAE / CLIP text+vision / adapter)
+to a few thousand parameters so full pipelines trace and execute in seconds
+on a CPU mesh, while preserving every structural feature of the real
+models (LoRA, decoupled-IP tokens, facial perceiver depth, CFG pairing).
+
+Mirrors the reference's tiny-config smoke approach at
+/root/reference/models/BiSeNet/model.py:275-283 (shape-print smoke blocks),
+upgraded to reusable fixtures per SURVEY.md §4.
+"""
+from consistentid_tpu.core import (AdapterConfig, CLIPTextConfig,
+                                   CLIPVisionConfig, UNetConfig, VAEConfig)
+
+
+def tiny_bundle():
+    """A complete SD1.5 ConsistentID bundle at toy scale (random weights)."""
+    from consistentid_tpu.pipelines import SD15Bundle
+
+    return SD15Bundle(
+        unet_config=UNetConfig(
+            block_out_channels=(32, 32, 64, 64),
+            layers_per_block=1,
+            num_attention_heads=(2, 2, 2, 2),
+            cross_attention_dim=64,
+            norm_num_groups=8,
+            lora_rank=4,
+            ip_num_tokens=4,
+        ),
+        adapter_config=AdapterConfig(
+            cross_attention_dim=64,
+            id_embeddings_dim=16,
+            clip_embeddings_dim=32,
+            num_id_tokens=4,
+            facial_dim=64,
+            facial_depth=2,
+            facial_heads=2,
+            facial_output_dim=64,
+            lora_rank=4,
+        ),
+        vae_config=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                             norm_num_groups=8),
+        text_config=CLIPTextConfig(hidden_size=64, intermediate_size=128,
+                                   num_layers=2, num_heads=2),
+        vision_config=CLIPVisionConfig(image_size=28, patch_size=14,
+                                       hidden_size=32, intermediate_size=64,
+                                       num_layers=2, num_heads=2),
+    )

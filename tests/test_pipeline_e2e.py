@@ -8,42 +8,9 @@ import jax
 import jax.numpy as jnp
 
 from consistentid_tpu.conditioning import SimpleTokenizer
-from consistentid_tpu.core import (AdapterConfig, CLIPTextConfig,
-                                   CLIPVisionConfig, PipelineConfig,
-                                   UNetConfig, VAEConfig)
-from consistentid_tpu.pipelines import ConsistentIDPipeline, SD15Bundle
-
-
-def tiny_bundle():
-    return SD15Bundle(
-        unet_config=UNetConfig(
-            block_out_channels=(32, 32, 64, 64),
-            layers_per_block=1,
-            num_attention_heads=(2, 2, 2, 2),
-            cross_attention_dim=64,
-            norm_num_groups=8,
-            lora_rank=4,
-            ip_num_tokens=4,
-        ),
-        adapter_config=AdapterConfig(
-            cross_attention_dim=64,
-            id_embeddings_dim=16,
-            clip_embeddings_dim=32,
-            num_id_tokens=4,
-            facial_dim=64,
-            facial_depth=2,
-            facial_heads=2,
-            facial_output_dim=64,
-            lora_rank=4,
-        ),
-        vae_config=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
-                             norm_num_groups=8),
-        text_config=CLIPTextConfig(hidden_size=64, intermediate_size=128,
-                                   num_layers=2, num_heads=2),
-        vision_config=CLIPVisionConfig(image_size=28, patch_size=14,
-                                       hidden_size=32, intermediate_size=64,
-                                       num_layers=2, num_heads=2),
-    )
+from consistentid_tpu.core import PipelineConfig
+from consistentid_tpu.pipelines import ConsistentIDPipeline
+from consistentid_tpu.testing import tiny_bundle
 
 
 def synthetic_face_inputs():
