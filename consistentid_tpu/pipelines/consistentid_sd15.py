@@ -215,11 +215,12 @@ class ConsistentIDPipeline:
         self.face_embedder = face_embedder
         self.mesh = mesh
         self._facial_token_id = tokenizer.convert_tokens_to_ids("<|facial|>")
-        # jit once; a fresh jax.jit per generate() would recompile every call
+        # jit once; a fresh jax.jit per generate() would recompile every call.
+        # ip_scale/lora_scale are traced scalars (like guidance/merge-step),
+        # so changing them never recompiles (reference set_scale :211-215).
         self._core_jit = jax.jit(
             self._generate_core,
-            static_argnames=("num_steps", "scheduler", "ip_scale",
-                             "lora_scale"))
+            static_argnames=("num_steps", "scheduler"))
 
     # ---------------- host-side prepare ----------------
 
@@ -351,7 +352,7 @@ class ConsistentIDPipeline:
 
     def _generate_core(self, params, cond, latents, guidance_scale,
                        start_merge_step, num_steps, scheduler, ip_scale,
-                       lora_scale):
+                       lora_scale, rng=None):
         null_e, aug_e, text_e = self.encode_embeddings(params, cond)
         # num_images_per_prompt: conditioning is computed once and tiled to
         # the latent batch (reference num_images_per_prompt repeat, :472-477)
@@ -370,7 +371,7 @@ class ConsistentIDPipeline:
         final = denoise(unet_fn, latents,
                         CondBranch(context=text_e, null=null_e),
                         CondBranch(context=aug_e, null=null_e),
-                        plan, guidance_scale, start_merge_step)
+                        plan, guidance_scale, start_merge_step, rng=rng)
         images = self.bundle.vae.apply(
             {"params": params["vae"]}, final, method=AutoencoderKL.decode)
         return images
@@ -406,8 +407,9 @@ class ConsistentIDPipeline:
         cond = {k: jnp.asarray(v) for k, v in cond.items()}
 
         sf = self.bundle.vae_scale_factor
+        rng = jax.random.PRNGKey(seed)
         latents = jax.random.normal(
-            jax.random.PRNGKey(seed),
+            rng,
             (num_images_per_prompt, height // sf, width // sf,
              self.bundle.unet_config.sample_channels),
             jnp.float32)
@@ -427,7 +429,8 @@ class ConsistentIDPipeline:
                         else cfg.guidance_scale),
             jnp.int32(start_merge_step if start_merge_step is not None
                       else cfg.start_merge_step),
-            num_steps, scheduler, ip_scale, lora_scale)
+            num_steps, scheduler, jnp.float32(ip_scale),
+            jnp.float32(lora_scale), jax.random.fold_in(rng, 1))
         if return_latents:
             return np.asarray(images)
         return postprocess_to_uint8(np.asarray(images))
@@ -469,12 +472,15 @@ class ConsistentIDPipeline:
         guidance = kwargs.pop("guidance_scale", cfg.guidance_scale)
         merge = kwargs.pop("start_merge_step", cfg.start_merge_step)
         sf = self.bundle.vae_scale_factor
+        rng = jax.random.PRNGKey(seed)
         latents = jax.random.normal(
-            jax.random.PRNGKey(seed),
+            rng,
             (n, height // sf, width // sf,
              self.bundle.unet_config.sample_channels), jnp.float32)
         images = self._core_jit(
             self.params, cond, latents, jnp.float32(guidance),
             jnp.int32(merge), num_steps, scheduler,
-            kwargs.pop("ip_scale", 1.0), kwargs.pop("lora_scale", 1.0))
+            jnp.float32(kwargs.pop("ip_scale", 1.0)),
+            jnp.float32(kwargs.pop("lora_scale", 1.0)),
+            jax.random.fold_in(rng, 1))
         return postprocess_to_uint8(np.asarray(images))

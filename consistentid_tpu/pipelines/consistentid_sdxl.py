@@ -142,7 +142,7 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
 
     def _generate_core(self, params, cond, latents, guidance_scale,
                        start_merge_step, num_steps, scheduler, ip_scale,
-                       lora_scale):
+                       lora_scale, rng=None):
         text_b, facial_b = self.encode_embeddings_xl(params, cond)
         n = latents.shape[0]
         time_ids = cond["time_ids"]
@@ -163,7 +163,7 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
                 added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale)
 
         final = denoise(unet_fn, latents, text_b, facial_b, plan,
-                        guidance_scale, start_merge_step,
+                        guidance_scale, start_merge_step, rng=rng,
                         time_ids=time_ids)
         if self.bundle.vae_config.force_upcast:
             # fp32 VAE decode (SDXL force_upcast path, reference :670-672 —

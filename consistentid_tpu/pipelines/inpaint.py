@@ -26,23 +26,26 @@ from PIL import Image
 from ..models import AutoencoderKL
 from ..models.controlnet import ControlNet
 from ..sampling import CondBranch, denoise, make_plan
-from ..sampling.schedulers import SamplerPlan
+from ..sampling.schedulers import SamplerPlan, plan_tail
 from ..utils.image import postprocess_to_uint8, sd_image_preprocess
 from .consistentid_sd15 import ConsistentIDPipeline
 
 
-def plan_tail(plan: SamplerPlan, strength: float) -> SamplerPlan:
-    """Keep the last int(T * strength) steps (reference :246-248)."""
-    t_start = plan.num_steps - min(int(plan.num_steps * strength),
-                                   plan.num_steps)
-    return SamplerPlan(
-        timesteps=plan.timesteps[t_start:],
-        c_in=plan.c_in[t_start:],
-        coef_x=plan.coef_x[t_start:],
-        coef_e=plan.coef_e[t_start:],
-        coef_n=plan.coef_n[t_start:],
-        init_scale=plan.init_scale,
-    )
+def _noised_init_latents(plan: SamplerPlan, image_latents, noise):
+    """Image latents noised to the plan's first step, in the plan's own
+    latent space (VP for ddim/ddpm/dpmpp, sigma space for euler)."""
+    return (jnp.float32(plan.noise_x[0]) * image_latents
+            + jnp.float32(plan.noise_e[0]) * noise)
+
+
+def _inpaint_target_table(plan: SamplerPlan, image_latents, noise):
+    """(T, B, h, w, C) per-step blend targets for 4-channel inpainting:
+    init latents re-noised to the NEXT step's noise level; the final step
+    blends the clean image latents (reference :344-352)."""
+    nx = jnp.asarray(np.concatenate([plan.noise_x[1:], [1.0]]), jnp.float32)
+    ne = jnp.asarray(np.concatenate([plan.noise_e[1:], [0.0]]), jnp.float32)
+    return (nx[:, None, None, None, None] * image_latents[None]
+            + ne[:, None, None, None, None] * noise[None])
 
 
 def preprocess_mask(mask_image: Image.Image, height: int, width: int,
@@ -60,7 +63,7 @@ class ConsistentIDInpaintPipeline(ConsistentIDPipeline):
 
     def _inpaint_core(self, params, cond, noise, guidance_scale,
                       start_merge_step, num_steps, scheduler, ip_scale,
-                      lora_scale, strength, vae_rng):
+                      lora_scale, strength, vae_rng, sampler_rng=None):
         bundle = self.bundle
         null_e, aug_e, text_e = self.encode_embeddings(params, cond)
         plan = plan_tail(make_plan(self.schedule, scheduler, num_steps),
@@ -79,33 +82,20 @@ class ConsistentIDInpaintPipeline(ConsistentIDPipeline):
             masked_latents = vae_apply(masked_image, vae_rng,
                                        method=AutoencoderKL.encode)
 
-        # initial latents: image latents noised to the first kept timestep
-        # (pure noise when strength == 1, reference prepare_latents semantics)
-        t0 = jnp.asarray(plan.timesteps[0], jnp.int32)
+        # initial latents: image latents noised to the first kept step, in
+        # the plan's own latent space (pure noise when strength == 1,
+        # reference prepare_latents semantics)
         if is_full_strength:
             latents = noise
         else:
-            latents = self.schedule.add_noise(
-                image_latents, noise,
-                jnp.broadcast_to(t0, (image_latents.shape[0],)))
+            latents = _noised_init_latents(plan, image_latents, noise)
             # override the plan's init_scale (only meaningful for pure noise)
             plan = dataclasses.replace(plan, init_scale=1.0)
 
         inpaint_mask = inpaint_targets = None
         if not nine_channel:
-            # per-step blend targets: init latents re-noised to t_{i+1};
-            # the final step blends the clean image latents (:344-352)
-            next_ts = jnp.asarray(
-                np.concatenate([plan.timesteps[1:], [0]]), jnp.int32)
-
-            def target_for(t_next, is_last):
-                noised = self.schedule.add_noise(
-                    image_latents, noise,
-                    jnp.broadcast_to(t_next, (image_latents.shape[0],)))
-                return jnp.where(is_last, image_latents, noised)
-
-            is_last = jnp.arange(plan.num_steps) == plan.num_steps - 1
-            inpaint_targets = jax.vmap(target_for)(next_ts, is_last)
+            inpaint_targets = _inpaint_target_table(plan, image_latents,
+                                                    noise)
             inpaint_mask = latent_mask
 
         def unet_fn(x, t, context, added, step_i):
@@ -122,6 +112,7 @@ class ConsistentIDInpaintPipeline(ConsistentIDPipeline):
                         CondBranch(context=text_e, null=null_e),
                         CondBranch(context=aug_e, null=null_e),
                         plan, guidance_scale, start_merge_step,
+                        rng=sampler_rng,
                         inpaint_mask=inpaint_mask,
                         inpaint_targets=inpaint_targets)
         return vae_apply(final, method=AutoencoderKL.decode)
@@ -162,16 +153,16 @@ class ConsistentIDInpaintPipeline(ConsistentIDPipeline):
         if not hasattr(self, "_inpaint_jit"):
             self._inpaint_jit = jax.jit(
                 self._inpaint_core,
-                static_argnames=("num_steps", "scheduler", "ip_scale",
-                                 "lora_scale", "strength"))
+                static_argnames=("num_steps", "scheduler", "strength"))
         images = self._inpaint_jit(
             self.params, {**cond, **extra_cond}, noise,
             jnp.float32(guidance_scale if guidance_scale is not None
                         else cfg.guidance_scale),
             jnp.int32(start_merge_step if start_merge_step is not None
                       else cfg.start_merge_step),
-            num_steps, scheduler, ip_scale, lora_scale, float(strength),
-            jax.random.fold_in(rng, 1))
+            num_steps, scheduler, jnp.float32(ip_scale),
+            jnp.float32(lora_scale), float(strength),
+            jax.random.fold_in(rng, 1), jax.random.fold_in(rng, 2))
         return postprocess_to_uint8(np.asarray(images))
 
     def _extra_cond(self, cond, height, width, **extra):
@@ -207,7 +198,7 @@ class ConsistentIDControlNetInpaintPipeline(ConsistentIDInpaintPipeline):
 
     def _inpaint_core(self, params, cond, noise, guidance_scale,
                       start_merge_step, num_steps, scheduler, ip_scale,
-                      lora_scale, strength, vae_rng):
+                      lora_scale, strength, vae_rng, sampler_rng=None):
         bundle = self.bundle
         null_e, aug_e, text_e = self.encode_embeddings(params, cond)
         plan = plan_tail(make_plan(self.schedule, scheduler, num_steps),
@@ -219,25 +210,13 @@ class ConsistentIDControlNetInpaintPipeline(ConsistentIDInpaintPipeline):
                                   method=AutoencoderKL.encode)
         latent_mask = cond["latent_mask"]
 
-        t0 = jnp.asarray(plan.timesteps[0], jnp.int32)
         if strength >= 1.0:
             latents = noise
         else:
-            latents = self.schedule.add_noise(
-                image_latents, noise,
-                jnp.broadcast_to(t0, (image_latents.shape[0],)))
+            latents = _noised_init_latents(plan, image_latents, noise)
             plan = dataclasses.replace(plan, init_scale=1.0)
 
-        next_ts = jnp.asarray(
-            np.concatenate([plan.timesteps[1:], [0]]), jnp.int32)
-        is_last = jnp.arange(plan.num_steps) == plan.num_steps - 1
-        inpaint_targets = jax.vmap(
-            lambda t_next, last: jnp.where(
-                last, image_latents,
-                self.schedule.add_noise(
-                    image_latents, noise,
-                    jnp.broadcast_to(t_next, (image_latents.shape[0],))))
-        )(next_ts, is_last)
+        inpaint_targets = _inpaint_target_table(plan, image_latents, noise)
 
         # controlnet keep schedule: 1 inside [start, end] of progress
         progress = (np.arange(plan.num_steps) + 0.5) / plan.num_steps
@@ -269,6 +248,7 @@ class ConsistentIDControlNetInpaintPipeline(ConsistentIDInpaintPipeline):
                         CondBranch(context=text_e, null=null_e),
                         CondBranch(context=aug_e, null=null_e),
                         plan, guidance_scale, start_merge_step,
+                        rng=sampler_rng,
                         inpaint_mask=latent_mask,
                         inpaint_targets=inpaint_targets)
         return vae_apply(final, method=AutoencoderKL.decode)

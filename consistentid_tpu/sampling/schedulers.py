@@ -78,6 +78,12 @@ class SamplerPlan:
     coef_e: np.ndarray      # (T,)
     coef_n: np.ndarray      # (T,) ancestral-noise scale (0 for ODE samplers)
     init_scale: float       # initial latent multiplier
+    # img2img/inpaint noising tables, in the plan's OWN latent space:
+    # "clean latents noised to table step i" = noise_x[i]*x0 + noise_e[i]*eps.
+    # VP-space plans (ddim/ddpm/dpmpp): sqrt(acp_t), sqrt(1-acp_t);
+    # sigma-space plans (euler): 1, sigma_t.
+    noise_x: np.ndarray = None  # (T,)
+    noise_e: np.ndarray = None  # (T,)
     kind: str = "affine"
     # dpmpp_2m extras (None for affine plans)
     c_alpha: np.ndarray | None = None   # (T,) sqrt(acp_t)
@@ -125,6 +131,8 @@ def ddim_plan(schedule: NoiseSchedule, num_steps: int) -> SamplerPlan:
         coef_e=coef_e.astype(np.float32),
         coef_n=np.zeros(num_steps, np.float32),
         init_scale=1.0,
+        noise_x=np.sqrt(a_t).astype(np.float32),
+        noise_e=np.sqrt(1.0 - a_t).astype(np.float32),
     )
 
 
@@ -144,6 +152,9 @@ def euler_plan(schedule: NoiseSchedule, num_steps: int) -> SamplerPlan:
         coef_n=np.zeros(num_steps, np.float32),
         # leading spacing: init sigma is sqrt(sigma_max^2 + 1)
         init_scale=float(np.sqrt(sigmas[0] ** 2 + 1.0)),
+        # euler latents live in sigma space: x = x0 + sigma*eps
+        noise_x=np.ones(num_steps, np.float32),
+        noise_e=sigmas.astype(np.float32),
     )
 
 
@@ -169,6 +180,8 @@ def ddpm_plan(schedule: NoiseSchedule, num_steps: int) -> SamplerPlan:
         coef_e=coef_e.astype(np.float32),
         coef_n=coef_n.astype(np.float32),
         init_scale=1.0,
+        noise_x=np.sqrt(a_t).astype(np.float32),
+        noise_e=np.sqrt(1.0 - a_t).astype(np.float32),
     )
 
 
@@ -206,6 +219,8 @@ def dpmpp_2m_plan(schedule: NoiseSchedule, num_steps: int) -> SamplerPlan:
         coef_e=np.zeros(num_steps, np.float32),
         coef_n=np.zeros(num_steps, np.float32),
         init_scale=1.0,
+        noise_x=alphas.astype(np.float32),
+        noise_e=sigmas.astype(np.float32),
         kind="dpmpp_2m",
         c_alpha=alphas.astype(np.float32),
         c_sigma=sigmas.astype(np.float32),
@@ -213,6 +228,32 @@ def dpmpp_2m_plan(schedule: NoiseSchedule, num_steps: int) -> SamplerPlan:
         gamma=gamma.astype(np.float32),
         rr=rr.astype(np.float32),
     )
+
+
+def plan_tail(plan: SamplerPlan, strength: float) -> SamplerPlan:
+    """Keep the last int(T * strength) steps (img2img/inpaint truncation,
+    reference StableDIffusionInpaint_ConsistentID.py:246-248).
+
+    Slices EVERY per-step table (including the dpmpp_2m multistep extras) and
+    zeroes the new first step's second-order weight `rr`, since the truncated
+    trajectory has no previous x0 to extrapolate from.
+    """
+    import dataclasses as _dc
+
+    t_start = plan.num_steps - min(int(plan.num_steps * strength),
+                                   plan.num_steps)
+    if t_start == 0:
+        return plan
+    updates = {}
+    for f in _dc.fields(plan):
+        v = getattr(plan, f.name)
+        if isinstance(v, np.ndarray) and v.shape == (plan.num_steps,):
+            updates[f.name] = v[t_start:]
+    if plan.rr is not None:
+        rr = updates["rr"].copy()
+        rr[0] = 0.0
+        updates["rr"] = rr
+    return _dc.replace(plan, **updates)
 
 
 PLAN_BUILDERS = {"ddim": ddim_plan, "euler": euler_plan, "ddpm": ddpm_plan,

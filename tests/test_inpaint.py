@@ -61,6 +61,49 @@ def test_inpaint_recomposition_pins_unmasked_latents(inpaint_pipe):
     assert not np.array_equal(c, d)
 
 
+@pytest.mark.parametrize("scheduler", ["ddim", "euler", "ddpm", "dpmpp_2m"])
+@pytest.mark.parametrize("strength", [1.0, 0.6])
+def test_inpaint_every_scheduler_nondegenerate(inpaint_pipe, scheduler,
+                                               strength):
+    """Every registered scheduler x inpaint must produce non-degenerate
+    output (VERDICT r1: dpmpp_2m plans collapsed to zero latents when
+    plan_tail dropped the multistep tables)."""
+    face, labels = synthetic_face_inputs()
+    kw = dict(parsing_labels=labels,
+              faceid_embeds=np.zeros((1, 16), np.float32), seed=1,
+              strength=strength, scheduler=scheduler)
+    a = inpaint_pipe.generate("a man with a face", face, face,
+                              _mask_image(), **kw)
+    assert a.shape == (1, 32, 32, 3)
+    # degenerate (zero) latents decode to a near-constant frame
+    assert a.std() > 4.0, (scheduler, strength, a.std())
+    # prompt must influence the masked region
+    b = inpaint_pipe.generate("a blue sky with clouds", face, face,
+                              _mask_image(), **kw)
+    assert not np.array_equal(a, b), (scheduler, strength)
+
+
+@pytest.mark.parametrize("scheduler", ["ddim", "euler", "dpmpp_2m"])
+def test_t2i_every_scheduler_nondegenerate(scheduler):
+    import jax as _jax
+
+    from consistentid_tpu.pipelines import ConsistentIDPipeline
+
+    bundle = tiny_bundle()
+    params = bundle.init_params(_jax.random.PRNGKey(0))
+    pipe = ConsistentIDPipeline(
+        bundle, params, SimpleTokenizer(),
+        pipeline_config=PipelineConfig(height=32, width=32,
+                                       num_inference_steps=3,
+                                       start_merge_step=1,
+                                       scheduler=scheduler))
+    face, labels = synthetic_face_inputs()
+    img = pipe.generate("a man with a face", face, parsing_labels=labels,
+                        faceid_embeds=np.zeros((1, 16), np.float32), seed=1)
+    assert img.shape == (1, 32, 32, 3)
+    assert img.std() > 4.0, (scheduler, img.std())
+
+
 def test_controlnet_inpaint_runs():
     bundle = tiny_bundle()
     params = bundle.init_params(jax.random.PRNGKey(0))

@@ -77,6 +77,24 @@ def test_generate_deterministic(pipeline):
     np.testing.assert_array_equal(a, b)
 
 
+def test_scales_are_traced_no_recompile(pipeline):
+    """Changing ip_scale / lora_scale / guidance / merge-step must reuse the
+    compiled graph (reference set_scale :211-215 is a free runtime knob)."""
+    face, labels = synthetic_face_inputs()
+    kw = dict(parsing_labels=labels,
+              faceid_embeds=np.zeros((1, 16), np.float32), seed=7)
+    pipeline.generate("a man with a face", face, **kw)
+    before = pipeline._core_jit._cache_size()
+    a = pipeline.generate("a man with a face", face, ip_scale=0.3,
+                          lora_scale=0.5, guidance_scale=2.0,
+                          start_merge_step=0, **kw)
+    b = pipeline.generate("a man with a face", face, ip_scale=0.9,
+                          lora_scale=1.0, guidance_scale=7.0,
+                          start_merge_step=2, **kw)
+    assert pipeline._core_jit._cache_size() == before, "scales recompiled"
+    assert not np.array_equal(a, b)
+
+
 def test_generate_num_images_per_prompt(pipeline):
     face, labels = synthetic_face_inputs()
     faceid = np.zeros((1, 16), np.float32)

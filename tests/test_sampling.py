@@ -152,6 +152,62 @@ def test_dpmpp_2m_exact_on_constant_x0(schedule):
     np.testing.assert_allclose(x, x0, atol=1e-3)
 
 
+@pytest.mark.parametrize("name", ["ddim", "euler", "dpmpp_2m"])
+@pytest.mark.parametrize("strength", [1.0, 0.6, 0.25])
+def test_plan_tail_oracle_eps_recovers_x0(schedule, name, strength):
+    """img2img truncation invariant: starting from the plan's own noising of
+    x0 at the first kept step and feeding the TRUE eps, every ODE sampler
+    must integrate back to exactly x0 — catches both the dpmpp_2m table
+    truncation bug and init-noising in the wrong latent space (VP vs sigma).
+    Runs through `denoise` itself so the scan/carry path is covered."""
+    import dataclasses
+
+    from consistentid_tpu.sampling import make_plan
+    from consistentid_tpu.sampling.schedulers import plan_tail
+
+    plan = plan_tail(make_plan(schedule, name, 20), strength)
+    assert plan.kind == ("dpmpp_2m" if name == "dpmpp_2m" else "affine")
+    plan = dataclasses.replace(plan, init_scale=1.0)
+
+    rng = np.random.RandomState(2)
+    x0 = rng.randn(1, 4, 4, 4).astype(np.float32)
+    eps = rng.randn(1, 4, 4, 4).astype(np.float32)
+    latents = jnp.asarray(plan.noise_x[0] * x0 + plan.noise_e[0] * eps)
+
+    def unet_fn(x, t, context, added, step_i):
+        return jnp.concatenate([jnp.asarray(eps)] * 2, axis=0)
+
+    br = CondBranch(context=jnp.zeros((1, 5, 8)), null=jnp.zeros((1, 5, 8)))
+    out = denoise(unet_fn, latents, br, br, plan, jnp.float32(1.0),
+                  jnp.int32(0))
+    # ddim with set_alpha_to_one=False terminates at acp[0] (not exactly 1),
+    # leaving a ~sqrt(1-acp[0])·|eps| ≈ 0.03 residual; the bugs this guards
+    # against (zero collapse, wrong-space init) produce O(0.5-1) errors.
+    atol = 0.1 if name == "ddim" else 5e-3
+    np.testing.assert_allclose(np.asarray(out), x0, atol=atol)
+
+
+def test_plan_tail_preserves_tables(schedule):
+    """Every per-step table is suffix-sliced; dpmpp rr restarts at 0."""
+    from consistentid_tpu.sampling import make_plan
+    from consistentid_tpu.sampling.schedulers import plan_tail
+
+    for name in ["ddim", "euler", "ddpm", "dpmpp_2m"]:
+        full = make_plan(schedule, name, 20)
+        tail = plan_tail(full, 0.5)
+        assert tail.num_steps == 10
+        assert tail.kind == full.kind
+        np.testing.assert_array_equal(tail.timesteps, full.timesteps[10:])
+        np.testing.assert_array_equal(tail.c_in, full.c_in[10:])
+        np.testing.assert_array_equal(tail.noise_e, full.noise_e[10:])
+        if name == "dpmpp_2m":
+            assert tail.rr[0] == 0.0
+            np.testing.assert_array_equal(tail.ratio, full.ratio[10:])
+            np.testing.assert_array_equal(tail.gamma, full.gamma[10:])
+            np.testing.assert_array_equal(tail.rr[1:], full.rr[11:])
+        assert plan_tail(full, 1.0) is full
+
+
 def test_denoise_dpmpp_with_tiny_unet(schedule):
     from consistentid_tpu.models import UNet
     from consistentid_tpu.sampling import make_plan
