@@ -132,9 +132,13 @@ def main(argv=None):
             jax.profiler.stop_trace()
             profiling = False
         if config.grad_accum_steps > 1:
+            # (accum, n_devices * batch_per_device, ...): the per-example
+            # dim (1) is sharded over the mesh, the accum dim is scanned
             batch = {k: v.reshape(config.grad_accum_steps, -1, *v.shape[1:])
                      for k, v in batch.items()}
-        batch = shard_batch(mesh, batch)
+            batch = shard_batch(mesh, batch, batch_dim=1)
+        else:
+            batch = shard_batch(mesh, batch)
         timer.data_loaded()
         state, metrics = step_fn(state, batch,
                                  jax.random.fold_in(rng, step))

@@ -26,6 +26,8 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     code then compiles to ICI collectives within a slice and DCN across
     slices — the reference's accelerate/NCCL launcher surface
     (train_bash.sh:1-8) reduces to this one call per host."""
+    import warnings
+
     import jax
 
     if jax.process_count() > 1:
@@ -36,8 +38,15 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                       num_processes=num_processes, process_id=process_id)
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # single-host / already-initialized environments
+    except RuntimeError as e:
+        # benign only when the runtime already initialized the cluster
+        if "already initialized" not in str(e).lower():
+            raise
+    except ValueError as e:
+        if coordinator_address is not None:
+            raise  # explicit cluster config that failed must not be hidden
+        warnings.warn(
+            f"jax.distributed.initialize skipped (single-host run?): {e}")
 
 
 def make_mesh(
@@ -61,17 +70,24 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
-def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard leading (batch) dim over the data axis, replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+def data_sharding(mesh: Mesh, ndim: int, batch_dim: int = 0) -> NamedSharding:
+    """Shard the batch dim over the data axis, replicate the rest."""
+    spec = [None] * ndim
+    spec[batch_dim] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device_put a pytree of host arrays with batch-dim sharding."""
+def shard_batch(mesh: Mesh, batch, batch_dim: int = 0):
+    """Device_put a pytree of host arrays with batch-dim sharding.
+
+    batch_dim=1 is the grad-accumulation layout (accum, global_batch, ...):
+    the per-example dim is sharded and every device scans the full accum dim.
+    """
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+        lambda x: jax.device_put(
+            x, data_sharding(mesh, np.ndim(x), batch_dim)), batch
     )

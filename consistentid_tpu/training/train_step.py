@@ -231,8 +231,11 @@ def make_train_step(bundle, schedule: NoiseSchedule, config: TrainConfig,
 
     pspec_state = TrainState(trainable=P(), frozen=P(), opt_state=P(),
                              step=P())
+    # grad-accum batches arrive as (accum, global_batch, ...): shard the
+    # per-example dim, replicate the accum dim each device scans over
+    batch_spec = P(None, data_axis) if accum > 1 else P(data_axis)
     sharded = shard_map(
         step_fn, mesh=mesh,
-        in_specs=(pspec_state, P(data_axis), P()),
+        in_specs=(pspec_state, batch_spec, P()),
         out_specs=(pspec_state, P()))
     return jax.jit(sharded)

@@ -131,6 +131,33 @@ def test_train_step_grad_accum():
     assert not np.allclose(np.asarray(t0), np.asarray(t1))
 
 
+def test_train_step_grad_accum_on_mesh():
+    """grad-accum layout (accum, global_batch, ...) sharded over the mesh's
+    per-example dim (ADVICE r1: sharding the accum dim broke at trace time
+    on any multi-device mesh)."""
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    config = TrainConfig(grad_accum_steps=2, localization_layers=3)
+    schedule = NoiseSchedule.create(SchedulerConfig())
+    mesh = make_mesh()
+    n = mesh.devices.size
+    state = create_train_state(params, config)
+    step = make_train_step(bundle, schedule, config, mesh=mesh)
+    # global batch = accum * n_devices * per-device-batch(1)
+    batch = synthetic_batch(batch_size=2 * n, size=32, clip_size=28,
+                            id_dim=16)
+    batch = {k: np.asarray(v).reshape(2, n, *v.shape[1:])
+             for k, v in batch.items()}
+    from consistentid_tpu.parallel import shard_batch
+    batch = shard_batch(mesh, batch, batch_dim=1)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    t0 = jax.tree_util.tree_leaves(state.trainable)[0]
+    t1 = jax.tree_util.tree_leaves(state2.trainable)[0]
+    assert not np.allclose(np.asarray(t0), np.asarray(t1))
+    assert int(state2.step) == 1
+
+
 def test_sdxl_train_step():
     from consistentid_tpu.training import sdxl_consistentid_loss
     from tests.test_pipeline_sdxl import tiny_sdxl_bundle
