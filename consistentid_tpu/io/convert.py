@@ -318,6 +318,123 @@ def bisenet_from_torch(sd: Mapping[str, np.ndarray]):
     return params, stats
 
 
+# -- SCRFD face detector (mmdet-style torch/ONNX-export naming) ---------------
+
+def scrfd_config_from_state(sd: Mapping[str, np.ndarray]):
+    """Infer an SCRFDConfig from a checkpoint's names+shapes, so a wrong
+    variant-table entry can never silently corrupt a real-weight load
+    (the ONNX pack is the source of truth for the NAS-derived widths)."""
+    from ..models.scrfd import SCRFDConfig
+
+    stem_channels = sd["backbone.stem.0.weight"].shape[0]
+    stage_blocks, stage_planes = [], []
+    for li in range(1, 9):
+        if f"backbone.layer{li}.0.conv1.weight" not in sd:
+            break
+        n = 0
+        while f"backbone.layer{li}.{n}.conv1.weight" in sd:
+            n += 1
+        stage_blocks.append(n)
+        stage_planes.append(sd[f"backbone.layer{li}.0.conv1.weight"].shape[0])
+    neck_out = sd["neck.lateral_convs.0.conv.weight"].shape[0]
+    strides_share = "bbox_head.stride_cls.0.weight" in sd or \
+        "bbox_head.cls_stride_convs.0.0.conv.weight" in sd
+    key = "0" if strides_share else "8"
+    n_stack = 0
+    while f"bbox_head.cls_stride_convs.{key}.{n_stack}.conv.weight" in sd:
+        n_stack += 1
+    feat = sd[f"bbox_head.cls_stride_convs.{key}.0.conv.weight"].shape[0]
+    norm = "gn" if f"bbox_head.cls_stride_convs.{key}.0.gn.weight" in sd \
+        else "bn"
+    use_kps = any(k.startswith("bbox_head.stride_kps") for k in sd)
+    cls_reg_share = not any(
+        k.startswith("bbox_head.reg_stride_convs") for k in sd)
+    num_anchors = sd[f"bbox_head.stride_cls.{key}.weight"].shape[0]
+    return SCRFDConfig(
+        stem_channels=stem_channels, stage_blocks=tuple(stage_blocks),
+        stage_planes=tuple(stage_planes), neck_out_channels=neck_out,
+        head_stacked_convs=n_stack, head_feat_channels=feat,
+        num_anchors=num_anchors, use_kps=use_kps, norm=norm,
+        strides_share=strides_share, cls_reg_share=cls_reg_share)
+
+
+def _head_norm(sd, p, norm):
+    if norm == "gn":
+        return ({"scale": sd[f"{p}.gn.weight"],
+                 "bias": sd[f"{p}.gn.bias"]}, None)
+    return _bn(sd, f"{p}.bn")
+
+
+def scrfd_from_torch(sd: Mapping[str, np.ndarray], cfg=None):
+    """SCRFD state dict (mmdet naming as preserved by the insightface ONNX
+    export: backbone.stem/layer{i}, neck.lateral_convs/fpn_convs/
+    downsample_convs/pafpn_convs, bbox_head.cls_stride_convs/stride_cls/
+    stride_reg/stride_kps/scales) -> (params, batch_stats, config) for
+    models.scrfd.SCRFD."""
+    if cfg is None:
+        cfg = scrfd_config_from_state(sd)
+    bp, bs = {}, {}
+    for i, idx in enumerate((0, 3, 6)):
+        bp[f"stem_conv{i}"] = conv(sd, f"backbone.stem.{idx}", bias=False)
+        bp[f"stem_bn{i}"], bs[f"stem_bn{i}"] = _bn(
+            sd, f"backbone.stem.{idx + 1}")
+    for li, n_blocks in enumerate(cfg.stage_blocks):
+        for bi in range(n_blocks):
+            p = f"backbone.layer{li + 1}.{bi}"
+            name = f"layer{li + 1}_{bi}"
+            blk_p, blk_s = _basic_block(sd, p)
+            # ResNetV1e avg_down shortcut: downsample.0 is a (param-free)
+            # AvgPool, conv sits at .1 and bn at .2
+            if f"{p}.downsample.1.weight" in sd and \
+                    f"{p}.downsample.0.weight" not in sd:
+                blk_p["downsample_conv"] = conv(sd, f"{p}.downsample.1",
+                                                bias=False)
+                blk_p["downsample_bn"], blk_s["downsample_bn"] = _bn(
+                    sd, f"{p}.downsample.2")
+            bp[name], bs[name] = blk_p, blk_s
+
+    np_, ns_ = {}, {}
+    n_levels = 3
+    for i in range(n_levels):
+        np_[f"lateral_{i}"] = conv(sd, f"neck.lateral_convs.{i}.conv")
+        np_[f"fpn_{i}"] = conv(sd, f"neck.fpn_convs.{i}.conv")
+    for i in range(n_levels - 1):
+        np_[f"downsample_{i}"] = conv(sd, f"neck.downsample_convs.{i}.conv")
+        np_[f"pafpn_{i}"] = conv(sd, f"neck.pafpn_convs.{i}.conv")
+
+    hp, hs = {}, {}
+    keys = ["0"] if cfg.strides_share else [str(s) for s in cfg.strides]
+    for key in keys:
+        for j in range(cfg.head_stacked_convs):
+            tp = f"bbox_head.cls_stride_convs.{key}.{j}"
+            hp[f"cls_convs_{key}_{j}"] = conv(sd, f"{tp}.conv", bias=False)
+            n_p, n_s = _head_norm(sd, tp, cfg.norm)
+            hp[f"cls_norm_{key}_{j}"] = n_p
+            if n_s is not None:
+                hs[f"cls_norm_{key}_{j}"] = n_s
+            if not cfg.cls_reg_share:
+                tp = f"bbox_head.reg_stride_convs.{key}.{j}"
+                hp[f"reg_convs_{key}_{j}"] = conv(sd, f"{tp}.conv",
+                                                  bias=False)
+                n_p, n_s = _head_norm(sd, tp, cfg.norm)
+                hp[f"reg_norm_{key}_{j}"] = n_p
+                if n_s is not None:
+                    hs[f"reg_norm_{key}_{j}"] = n_s
+        hp[f"cls_pred_{key}"] = conv(sd, f"bbox_head.stride_cls.{key}")
+        hp[f"reg_pred_{key}"] = conv(sd, f"bbox_head.stride_reg.{key}")
+        if cfg.use_kps:
+            hp[f"kps_pred_{key}"] = conv(sd, f"bbox_head.stride_kps.{key}")
+    for i in range(len(cfg.strides)):
+        hp[f"scale_{i}"] = np.asarray(
+            sd[f"bbox_head.scales.{i}.scale"]).reshape(())
+
+    params = {"backbone": bp, "neck": np_, "head": hp}
+    stats = {"backbone": bs}
+    if hs:
+        stats["head"] = hs
+    return params, stats, cfg
+
+
 # -- ArcFace iresnet (torch-export naming, e.g. insightface ONNX/pt) ----------
 
 def iresnet_from_torch(sd: Mapping[str, np.ndarray],

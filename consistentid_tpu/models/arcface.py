@@ -110,13 +110,26 @@ def normalized_embedding(embedding: jax.Array) -> jax.Array:
     return embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True)
 
 
-def make_face_embedder(params, batch_stats, variant: str = "iresnet50"):
+def make_face_embedder(params, batch_stats, variant: str = "iresnet50",
+                       detector=None, allow_center_crop: bool = False):
     """PIL image -> (1, 512) L2-normalized numpy embedding; the pipeline's
-    `face_embedder` hook. Until the SCRFD detector port lands, the image is
-    center-cropped + resized to 112 (documented host fallback,
-    SURVEY.md §7.4 item 2)."""
+    `face_embedder` hook (reference FaceAnalysis detect->align->embed,
+    pipline_StableDiffusion_ConsistentID.py:217-226).
+
+    detector: a models.scrfd.make_face_detector callable (PIL -> (aligned
+    112x112 RGB float [0,255], score, box)). When the detector finds no face
+    the reference substitutes a zero embedding (:220-221) — same here.
+    allow_center_crop: explicit opt-in to the detector-free center-crop
+    fallback (useful for pre-aligned datasets); without a detector and
+    without this flag the call is a configuration error."""
     import numpy as np
     from PIL import Image
+
+    if detector is None and not allow_center_crop:
+        raise ValueError(
+            "make_face_embedder needs a face detector (models.scrfd."
+            "make_face_detector) or allow_center_crop=True for pre-aligned "
+            "inputs")
 
     model = IResNet(layers=IRESNET_LAYERS[variant])
     variables = {"params": params, "batch_stats": batch_stats}
@@ -126,13 +139,19 @@ def make_face_embedder(params, batch_stats, variant: str = "iresnet50"):
         return normalized_embedding(model.apply(variables, x))
 
     def embed(image):
-        image = image.convert("RGB")
-        w, h = image.size
-        side = min(w, h)
-        image = image.crop(((w - side) // 2, (h - side) // 2,
-                            (w + side) // 2, (h + side) // 2))
-        image = image.resize((112, 112), Image.BILINEAR)
-        arr = np.asarray(image, np.float32) / 127.5 - 1.0
+        if detector is not None:
+            aligned, score, _ = detector(image)
+            if score <= 0.0:
+                return np.zeros((1, 512), np.float32)  # reference :220-221
+            arr = np.asarray(aligned, np.float32) / 127.5 - 1.0
+        else:
+            image = image.convert("RGB")
+            w, h = image.size
+            side = min(w, h)
+            image = image.crop(((w - side) // 2, (h - side) // 2,
+                                (w + side) // 2, (h + side) // 2))
+            image = image.resize((112, 112), Image.BILINEAR)
+            arr = np.asarray(image, np.float32) / 127.5 - 1.0
         return np.asarray(run(jnp.asarray(arr[None])))
 
     return embed

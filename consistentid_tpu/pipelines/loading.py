@@ -41,12 +41,47 @@ def _subcheckpoint(base_dir: str, sub: str) -> Dict[str, np.ndarray]:
     return read_checkpoint(path)
 
 
+def _read_maybe_onnx(path: str) -> Dict[str, np.ndarray]:
+    if path.endswith(".onnx"):
+        from ..io.onnx_reader import read_onnx_initializers
+        return read_onnx_initializers(path)
+    return read_checkpoint(path)
+
+
+def load_face_stack(bisenet_path=None, arcface_path=None, scrfd_path=None,
+                    det_size: int = 640, allow_center_crop: bool = False):
+    """(face_parser, face_embedder) hooks from local checkpoint files —
+    the reference's BiSeNet + FaceAnalysis(SCRFD det -> align -> ArcFace)
+    stack (pipline_StableDiffusion_ConsistentID.py:63-71,217-226).
+    det_size: 640 for SD1.5, 512 for SDXL (:63-64 vs XL :75)."""
+    face_parser = face_embedder = None
+    if bisenet_path:
+        bn_params, bn_stats = convert.bisenet_from_torch(
+            read_checkpoint(bisenet_path))
+        face_parser = make_face_parser(bn_params, bn_stats)
+    if arcface_path:
+        detector = None
+        if scrfd_path:
+            from ..models.scrfd import make_face_detector
+            det_p, det_s, det_cfg = convert.scrfd_from_torch(
+                _read_maybe_onnx(scrfd_path))
+            detector = make_face_detector(det_p, det_s, cfg=det_cfg,
+                                          input_size=det_size)
+        ir_params, ir_stats = convert.iresnet_from_torch(
+            _read_maybe_onnx(arcface_path))
+        face_embedder = make_face_embedder(
+            ir_params, ir_stats, detector=detector,
+            allow_center_crop=allow_center_crop or detector is None)
+    return face_parser, face_embedder
+
+
 def load_sd15_consistentid(
     base_dir: str,
     consistentid_path: Optional[str] = None,
     image_encoder_path: Optional[str] = None,
     bisenet_path: Optional[str] = None,
     arcface_path: Optional[str] = None,
+    scrfd_path: Optional[str] = None,
     tokenizer=None,
     dtype=jnp.bfloat16,
     lora_rank: int = 128,
@@ -81,19 +116,8 @@ def load_sd15_consistentid(
     from ..core.dtypes import cast_floating
     params = cast_floating(params, dtype)
 
-    face_parser = face_embedder = None
-    if bisenet_path:
-        bn_params, bn_stats = convert.bisenet_from_torch(
-            read_checkpoint(bisenet_path))
-        face_parser = make_face_parser(bn_params, bn_stats)
-    if arcface_path:
-        if arcface_path.endswith(".onnx"):
-            from ..io.onnx_reader import read_onnx_initializers
-            sd = read_onnx_initializers(arcface_path)
-        else:
-            sd = read_checkpoint(arcface_path)
-        ir_params, ir_stats = convert.iresnet_from_torch(sd)
-        face_embedder = make_face_embedder(ir_params, ir_stats)
+    face_parser, face_embedder = load_face_stack(
+        bisenet_path, arcface_path, scrfd_path, det_size=640)
 
     if tokenizer is None:
         from ..conditioning import SimpleTokenizer
@@ -114,6 +138,7 @@ def load_sdxl_consistentid(
     image_encoder_path: Optional[str] = None,
     bisenet_path: Optional[str] = None,
     arcface_path: Optional[str] = None,
+    scrfd_path: Optional[str] = None,
     tokenizer=None,
     tokenizer_2=None,
     dtype=jnp.bfloat16,
@@ -156,19 +181,8 @@ def load_sdxl_consistentid(
             params, sd, bundle.unet_config)
     params = cast_floating(params, dtype)
 
-    face_parser = face_embedder = None
-    if bisenet_path:
-        bn_params, bn_stats = convert.bisenet_from_torch(
-            read_checkpoint(bisenet_path))
-        face_parser = make_face_parser(bn_params, bn_stats)
-    if arcface_path:
-        if arcface_path.endswith(".onnx"):
-            from ..io.onnx_reader import read_onnx_initializers
-            sd = read_onnx_initializers(arcface_path)
-        else:
-            sd = read_checkpoint(arcface_path)
-        ir_params, ir_stats = convert.iresnet_from_torch(sd)
-        face_embedder = make_face_embedder(ir_params, ir_stats)
+    face_parser, face_embedder = load_face_stack(
+        bisenet_path, arcface_path, scrfd_path, det_size=512)
 
     if tokenizer is None:
         from ..conditioning import SimpleTokenizer
