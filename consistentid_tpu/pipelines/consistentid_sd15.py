@@ -202,12 +202,10 @@ class ConsistentIDPipeline:
         self.bundle = bundle
         self.params = params
         self.tokenizer = tokenizer
-        if not hasattr(tokenizer, "_added") or "<|facial|>" not in getattr(
-                tokenizer, "_added", {}):
-            try:
-                tokenizer.add_tokens(["<|image|>", "<|facial|>"])
-            except Exception:
-                pass
+        # register the trigger tokens (reference :148-150); add_tokens is
+        # idempotent on every supported tokenizer (CLIPBPETokenizer,
+        # SimpleTokenizer, transformers.CLIPTokenizer)
+        tokenizer.add_tokens(["<|image|>", "<|facial|>"])
         self.config = pipeline_config or PipelineConfig()
         self.schedule = NoiseSchedule.create(
             scheduler_config or SchedulerConfig())

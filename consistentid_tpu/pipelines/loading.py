@@ -48,6 +48,25 @@ def _read_maybe_onnx(path: str) -> Dict[str, np.ndarray]:
     return read_checkpoint(path)
 
 
+def _default_tokenizer(base_dir: str, subfolder: str = "tokenizer"):
+    """Real CLIP BPE tokenizer from the checkpoint's own vocab files
+    (diffusers dumps ship tokenizer/vocab.json + merges.txt); the word-hash
+    SimpleTokenizer is a tests-only stand-in and is used only when the dump
+    carries no vocab."""
+    import warnings
+
+    from ..conditioning import CLIPBPETokenizer, SimpleTokenizer
+
+    tok_dir = os.path.join(base_dir, subfolder)
+    if os.path.isfile(os.path.join(tok_dir, "vocab.json")):
+        return CLIPBPETokenizer.from_pretrained(tok_dir)
+    warnings.warn(
+        f"no {subfolder}/vocab.json under {base_dir}; falling back to the "
+        "hash-based SimpleTokenizer (token ids will NOT match reference "
+        "checkpoints)")
+    return SimpleTokenizer()
+
+
 def load_face_stack(bisenet_path=None, arcface_path=None, scrfd_path=None,
                     det_size: int = 640, allow_center_crop: bool = False):
     """(face_parser, face_embedder) hooks from local checkpoint files —
@@ -120,8 +139,7 @@ def load_sd15_consistentid(
         bisenet_path, arcface_path, scrfd_path, det_size=640)
 
     if tokenizer is None:
-        from ..conditioning import SimpleTokenizer
-        tokenizer = SimpleTokenizer()
+        tokenizer = _default_tokenizer(base_dir)
 
     return ConsistentIDPipeline(
         bundle, params, tokenizer, pipeline_config=pipeline_config,
@@ -185,8 +203,9 @@ def load_sdxl_consistentid(
         bisenet_path, arcface_path, scrfd_path, det_size=512)
 
     if tokenizer is None:
-        from ..conditioning import SimpleTokenizer
-        tokenizer = SimpleTokenizer()
+        tokenizer = _default_tokenizer(base_dir)
+    if tokenizer_2 is None:
+        tokenizer_2 = _default_tokenizer(base_dir, subfolder="tokenizer_2")
     return ConsistentIDXLPipeline(
         bundle, params, tokenizer, tokenizer_2=tokenizer_2,
         pipeline_config=pipeline_config, face_parser=face_parser,
