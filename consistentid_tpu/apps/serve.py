@@ -1,15 +1,26 @@
 """Production serving: HTTP inference server with cross-request microbatching.
 
 The reference's serving story is a gradio demo that reloads the entire
-pipeline per request (app.py:24-37). Here: one pipeline, one compiled graph,
-a microbatching queue — concurrent requests within a collection window are
-stacked and run through generate_batch as a single TPU execution, so serving
-throughput rides the batch dimension instead of queueing latency.
+pipeline per request (app.py:24-37). Here: one pipeline, one compiled graph
+per batch bucket, a microbatching queue — concurrent requests within a
+collection window are stacked, padded to a fixed bucket size {1, 2, 4, ...},
+and run through generate_batch as a single TPU execution, so serving
+throughput rides the batch dimension and NO batch size ever triggers a fresh
+XLA compile after startup warmup.
+
+Security model: this server has NO authentication and trusts its callers.
+It binds to 127.0.0.1 by default — put a real ingress (auth, TLS, rate
+limits) in front before exposing it, and only then use --host 0.0.0.0.
+Requests are capped (--max-body bytes; decoded images capped at
+--max-image-px per side) so an untrusted peer can't exhaust host memory
+with a decompression bomb.
 
 API:
   GET  /healthz               -> {"status": "ok", "requests": N}
   POST /generate              JSON {prompt, image_b64, negative_prompt?,
                                     seed?} -> {image_b64, batch_size}
+    seed is honored PER REQUEST: each request's latents derive from its own
+    seed, so the output is reproducible regardless of microbatch co-members.
 
     python -m consistentid_tpu.apps.serve --base ... --port 8000
 """
@@ -27,6 +38,9 @@ from typing import List, Optional
 import numpy as np
 from PIL import Image
 
+MAX_BODY_BYTES = 16 * 1024 * 1024
+MAX_IMAGE_PX = 4096
+
 
 @dataclass
 class _Pending:
@@ -40,14 +54,25 @@ class _Pending:
     error: Optional[str] = None
 
 
+def _buckets(max_batch: int) -> List[int]:
+    out = [1]
+    while out[-1] * 2 <= max_batch:
+        out.append(out[-1] * 2)
+    if out[-1] != max_batch:
+        out.append(max_batch)
+    return out
+
+
 class MicroBatcher:
-    """Collects requests for up to `window_ms` (or `max_batch`), then runs
-    them as one generate_batch call on a dedicated worker thread."""
+    """Collects requests for up to `window_ms` (or `max_batch`), pads the
+    drained batch to the nearest bucket size, and runs it as one
+    generate_batch call on a dedicated worker thread."""
 
     def __init__(self, pipeline, max_batch: int = 4, window_ms: float = 30.0):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.window_ms = window_ms
+        self.buckets = _buckets(max_batch)
         self._queue: List[_Pending] = []
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -56,6 +81,17 @@ class MicroBatcher:
         self.batches_run = 0
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def warmup(self, image_size: int = 64):
+        """Compile every bucket's graph up front so no live request ever
+        waits on XLA (first compiles take tens of seconds through a remote
+        tunnel). Idempotent; uses the persistent compile cache."""
+        dummy = Image.fromarray(
+            np.full((image_size, image_size, 3), 127, np.uint8))
+        for b in self.buckets:
+            self.pipeline.generate_batch(
+                ["warmup"] * b, [dummy] * b, negative_prompts=[""] * b,
+                seeds=list(range(b)))
 
     def submit(self, req: _Pending) -> _Pending:
         with self._lock:
@@ -69,6 +105,12 @@ class MicroBatcher:
             self._queue = self._queue[self.max_batch:]
         return batch
 
+    def _bucket_size(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
     def _worker(self):
         while not self._stop:
             self._wake.wait(timeout=0.1)
@@ -80,20 +122,23 @@ class MicroBatcher:
             batch = self._drain()
             if not batch:
                 continue
+            n = len(batch)
+            size = self._bucket_size(n)
+            padded = batch + [batch[-1]] * (size - n)
             try:
                 images = self.pipeline.generate_batch(
-                    [r.prompt for r in batch],
-                    [r.image for r in batch],
-                    negative_prompts=[r.negative for r in batch],
-                    seed=batch[0].seed)
+                    [r.prompt for r in padded],
+                    [r.image for r in padded],
+                    negative_prompts=[r.negative for r in padded],
+                    seeds=[r.seed for r in padded])
                 for i, r in enumerate(batch):
                     r.result = images[i]
-                    r.batch_size = len(batch)
+                    r.batch_size = n
             except Exception as e:  # noqa: BLE001
                 for r in batch:
                     r.error = str(e)
             self.batches_run += 1
-            self.requests_served += len(batch)
+            self.requests_served += n
             for r in batch:
                 r.event.set()
 
@@ -103,7 +148,17 @@ class MicroBatcher:
         self._thread.join(timeout=2)
 
 
-def make_handler(batcher: MicroBatcher):
+def _load_image(b64: str, max_px: int = MAX_IMAGE_PX) -> Image.Image:
+    img = Image.open(io.BytesIO(base64.b64decode(b64)))
+    w, h = img.size  # size comes from the header, before full decode
+    if w > max_px or h > max_px:
+        raise ValueError(f"image {w}x{h} exceeds {max_px}px limit")
+    img.load()
+    return img
+
+
+def make_handler(batcher: MicroBatcher, max_body: int = MAX_BODY_BYTES,
+                 max_image_px: int = MAX_IMAGE_PX):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -129,9 +184,11 @@ def make_handler(batcher: MicroBatcher):
                 return self._json(404, {"error": "not found"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body:
+                    return self._json(413, {
+                        "error": f"body {n} exceeds {max_body} bytes"})
                 payload = json.loads(self.rfile.read(n))
-                image = Image.open(io.BytesIO(
-                    base64.b64decode(payload["image_b64"])))
+                image = _load_image(payload["image_b64"], max_image_px)
                 req = _Pending(
                     prompt=payload["prompt"], image=image,
                     negative=payload.get("negative_prompt", ""),
@@ -153,9 +210,14 @@ def make_handler(batcher: MicroBatcher):
 
 
 def serve(pipeline, port: int = 8000, max_batch: int = 4,
-          window_ms: float = 30.0):
+          window_ms: float = 30.0, host: str = "127.0.0.1",
+          warmup: bool = False, max_body: int = MAX_BODY_BYTES,
+          max_image_px: int = MAX_IMAGE_PX):
     batcher = MicroBatcher(pipeline, max_batch, window_ms)
-    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher))
+    if warmup:
+        batcher.warmup()
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(batcher, max_body, max_image_px))
     return server, batcher
 
 
@@ -163,9 +225,16 @@ def main(argv=None):
     from .infer import build_parser
 
     p = build_parser()
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address; 0.0.0.0 only behind a real ingress "
+                        "(this server has no auth)")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=4)
     p.add_argument("--window-ms", type=float, default=30.0)
+    p.add_argument("--max-body", type=int, default=MAX_BODY_BYTES)
+    p.add_argument("--max-image-px", type=int, default=MAX_IMAGE_PX)
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip compiling all batch buckets at startup")
     args, _ = p.parse_known_args(argv)
 
     from ..core.cache import enable_compilation_cache
@@ -182,8 +251,13 @@ def main(argv=None):
             num_inference_steps=args.steps,
             guidance_scale=args.guidance_scale,
             start_merge_step=args.start_merge_step))
-    server, _ = serve(pipe, args.port, args.max_batch, args.window_ms)
-    print(f"serving on :{args.port}")
+    server, batcher = serve(pipe, args.port, args.max_batch, args.window_ms,
+                            host=args.host, max_body=args.max_body,
+                            max_image_px=args.max_image_px)
+    if not args.no_warmup:
+        print(f"warming up buckets {batcher.buckets} ...")
+        batcher.warmup(image_size=args.height)
+    print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 
 

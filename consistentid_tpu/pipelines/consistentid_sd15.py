@@ -439,6 +439,7 @@ class ConsistentIDPipeline:
         face_images,
         negative_prompts=None,
         seed: int = 0,
+        seeds=None,
         parsing_labels_list=None,
         faceid_embeds_list=None,
         **kwargs,
@@ -446,7 +447,13 @@ class ConsistentIDPipeline:
         """Batch distinct requests through one compiled graph: conditioning
         is prepared per request on the host, stacked, and the whole
         encode+denoise+decode runs once at batch len(prompts). The serving /
-        eval-sweep throughput path."""
+        eval-sweep throughput path.
+
+        seeds: optional per-request seed list; each request's initial
+        latents derive from its own PRNGKey, so for ODE samplers
+        (ddim/euler/dpmpp) a request's output is independent of its batch
+        position and co-batched neighbors. Ancestral ddpm additionally draws
+        batch-level in-scan noise keyed off seeds[0]."""
         cfg = self.config
         n = len(prompts)
         negative_prompts = negative_prompts or [""] * n
@@ -470,11 +477,17 @@ class ConsistentIDPipeline:
         guidance = kwargs.pop("guidance_scale", cfg.guidance_scale)
         merge = kwargs.pop("start_merge_step", cfg.start_merge_step)
         sf = self.bundle.vae_scale_factor
-        rng = jax.random.PRNGKey(seed)
-        latents = jax.random.normal(
-            rng,
-            (n, height // sf, width // sf,
-             self.bundle.unet_config.sample_channels), jnp.float32)
+        shape = (height // sf, width // sf,
+                 self.bundle.unet_config.sample_channels)
+        if seeds is not None:
+            assert len(seeds) == n, (len(seeds), n)
+            rng = jax.random.PRNGKey(int(seeds[0]))
+            latents = jnp.stack([
+                jax.random.normal(jax.random.PRNGKey(int(s)), shape,
+                                  jnp.float32) for s in seeds])
+        else:
+            rng = jax.random.PRNGKey(seed)
+            latents = jax.random.normal(rng, (n, *shape), jnp.float32)
         images = self._core_jit(
             self.params, cond, latents, jnp.float32(guidance),
             jnp.int32(merge), num_steps, scheduler,

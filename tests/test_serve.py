@@ -30,10 +30,11 @@ def server():
                                        start_merge_step=1),
         face_parser=lambda img: labels,
         face_embedder=lambda img: np.zeros((1, 16), np.float32))
-    srv, batcher = serve(pipe, port=18731, max_batch=4, window_ms=200.0)
+    srv, batcher = serve(pipe, port=18731, max_batch=4, window_ms=200.0,
+                         warmup=True, max_image_px=256)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
-    yield srv, batcher
+    yield srv, batcher, pipe
     srv.shutdown()
     batcher.stop()
 
@@ -88,3 +89,63 @@ def test_bad_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_mixed_load_no_recompiles_and_per_request_seeds(server):
+    """After warmup, mixed batch sizes (1..4) reuse compiled bucket graphs
+    (zero new XLA compiles) and each request's seed is honored: same
+    request+seed reproduces regardless of batch co-members; different seeds
+    differ (VERDICT r1 item 5)."""
+    _, batcher, pipe = server
+    face, _ = synthetic_face_inputs()
+    buf = io.BytesIO()
+    face.save(buf, "PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    compiles_before = pipe._core_jit._cache_size()
+
+    def post_async(results, i, seed, prompt="a man with a face"):
+        results[i] = _post({"prompt": prompt, "image_b64": b64,
+                            "seed": seed})
+
+    # solo request, seed 7
+    solo = [None]
+    post_async(solo, 0, 7)
+
+    # the same request co-batched with three neighbors
+    results = [None] * 4
+    threads = [threading.Thread(target=post_async,
+                                args=(results, i, 7 if i == 0 else 100 + i,
+                                      "a man with a face" if i == 0
+                                      else f"other prompt {i}"))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert pipe._core_jit._cache_size() == compiles_before, \
+        "microbatch sizes recompiled after warmup"
+
+    # position/co-member independence (ODE sampler): solo == batched
+    assert solo[0]["image_b64"] == results[0]["image_b64"]
+
+    # distinct seeds, same prompt -> distinct outputs
+    a = [None]
+    b = [None]
+    post_async(a, 0, 1, "same prompt")
+    post_async(b, 0, 2, "same prompt")
+    assert a[0]["image_b64"] != b[0]["image_b64"]
+
+
+def test_oversized_image_rejected(server):
+    big = Image.fromarray(np.zeros((300, 300, 3), np.uint8))  # cap is 256
+    buf = io.BytesIO()
+    big.save(buf, "PNG")
+    try:
+        _post({"prompt": "x",
+               "image_b64": base64.b64encode(buf.getvalue()).decode()})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "exceeds" in e.read().decode()
