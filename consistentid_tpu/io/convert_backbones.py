@@ -223,3 +223,24 @@ def clip_vision_from_hf(sd: Mapping[str, np.ndarray],
     for i in range(cfg.num_layers):
         out[f"layers_{i}"] = _clip_layer(sd, f"{pre}encoder.layers.{i}")
     return out
+
+
+def safety_checker_from_hf(sd: Mapping[str, np.ndarray],
+                           cfg: CLIPVisionConfig) -> Dict:
+    """diffusers safety_checker/ dump (StableDiffusionSafetyChecker:
+    vision_model.vision_model.* CLIP tower, visual_projection, and the
+    concept/special-care embedding banks with their thresholds) ->
+    models.safety_checker.SafetyChecker params
+    (reference pipline_StableDiffusion_ConsistentID.py:586-594)."""
+    inner = {k[len("vision_model."):]: v for k, v in sd.items()
+             if k.startswith("vision_model.")}
+    return {
+        "vision_model": clip_vision_from_hf(inner, cfg),
+        "visual_projection": {
+            "kernel": np.ascontiguousarray(
+                sd["visual_projection.weight"].T)},
+        "concept_embeds": sd["concept_embeds"],
+        "special_care_embeds": sd["special_care_embeds"],
+        "concept_embeds_weights": sd["concept_embeds_weights"],
+        "special_care_embeds_weights": sd["special_care_embeds_weights"],
+    }

@@ -197,6 +197,8 @@ class ConsistentIDPipeline:
         scheduler_config: Optional[SchedulerConfig] = None,
         face_parser: Optional[Callable] = None,    # PIL -> (H, W) label map
         face_embedder: Optional[Callable] = None,  # PIL -> (1, 512) np
+        safety_checker: Optional[Callable] = None,  # uint8 (B,H,W,3) ->
+        #                                             (images, flags)
         mesh=None,  # jax Mesh: shard num_images_per_prompt over 'data'
     ):
         self.bundle = bundle
@@ -211,6 +213,8 @@ class ConsistentIDPipeline:
             scheduler_config or SchedulerConfig())
         self.face_parser = face_parser
         self.face_embedder = face_embedder
+        self.safety_checker = safety_checker
+        self.last_nsfw_flags = None  # set per call when a checker is active
         self.mesh = mesh
         self._facial_token_id = tokenizer.convert_tokens_to_ids("<|facial|>")
         # jit once; a fresh jax.jit per generate() would recompile every call.
@@ -374,6 +378,16 @@ class ConsistentIDPipeline:
             {"params": params["vae"]}, final, method=AutoencoderKL.decode)
         return images
 
+
+    def _postprocess(self, images) -> np.ndarray:
+        """Latent-space floats -> uint8, through the safety checker when one
+        is configured (reference :586-594: flagged images blacked out,
+        flags surfaced via last_nsfw_flags)."""
+        out = postprocess_to_uint8(np.asarray(images))
+        if self.safety_checker is not None:
+            out, self.last_nsfw_flags = self.safety_checker(out)
+        return out
+
     def generate(
         self,
         prompt: str,
@@ -431,7 +445,7 @@ class ConsistentIDPipeline:
             jnp.float32(lora_scale), jax.random.fold_in(rng, 1))
         if return_latents:
             return np.asarray(images)
-        return postprocess_to_uint8(np.asarray(images))
+        return self._postprocess(images)
 
     def generate_batch(
         self,
@@ -494,4 +508,4 @@ class ConsistentIDPipeline:
             jnp.float32(kwargs.pop("ip_scale", 1.0)),
             jnp.float32(kwargs.pop("lora_scale", 1.0)),
             jax.random.fold_in(rng, 1))
-        return postprocess_to_uint8(np.asarray(images))
+        return self._postprocess(images)

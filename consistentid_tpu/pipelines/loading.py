@@ -106,6 +106,7 @@ def load_sd15_consistentid(
     lora_rank: int = 128,
     num_tokens: int = 4,
     pipeline_config: Optional[PipelineConfig] = None,
+    with_safety_checker: bool = True,
 ) -> ConsistentIDPipeline:
     """Assemble the SD1.5 ConsistentID pipeline from local checkpoints."""
     bundle = SD15Bundle(
@@ -138,12 +139,25 @@ def load_sd15_consistentid(
     face_parser, face_embedder = load_face_stack(
         bisenet_path, arcface_path, scrfd_path, det_size=640)
 
+    # reference SD1.5 runs the CLIP safety checker on every output
+    # (:586-594); loaded when the dump ships one, unless opted out
+    safety_checker = None
+    sc_dir = os.path.join(base_dir, "safety_checker")
+    if with_safety_checker and os.path.isdir(sc_dir):
+        from ..io.convert_backbones import safety_checker_from_hf
+        from ..models.safety_checker import SafetyChecker, make_safety_checker
+        sc_cfg = SafetyChecker().vision_config
+        safety_checker = make_safety_checker(
+            safety_checker_from_hf(read_checkpoint(sc_dir), sc_cfg),
+            vision_config=sc_cfg)
+
     if tokenizer is None:
         tokenizer = _default_tokenizer(base_dir)
 
     return ConsistentIDPipeline(
         bundle, params, tokenizer, pipeline_config=pipeline_config,
-        face_parser=face_parser, face_embedder=face_embedder)
+        face_parser=face_parser, face_embedder=face_embedder,
+        safety_checker=safety_checker)
 
 
 # discoverability alias matching the reference method name
