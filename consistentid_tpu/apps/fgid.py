@@ -209,6 +209,13 @@ def main(argv=None):
         if stage == "mask":
             sp.add_argument("--bisenet", required=True)
             sp.add_argument("--batch-size", type=int, default=8)
+        if stage == "caption":
+            sp.add_argument("--captioner-cmd", default=None,
+                            help="external VLM worker command (JSONL "
+                                 "stdin/stdout protocol, see conditioning."
+                                 "captioner.SubprocessCaptioner)")
+            sp.add_argument("--captioner-url", default=None,
+                            help="external VLM HTTP endpoint")
         if stage == "faceid":
             sp.add_argument("--arcface", required=True)
             sp.add_argument("--batch-size", type=int, default=32)
@@ -217,7 +224,13 @@ def main(argv=None):
     if args.stage == "mask":
         run_mask(args.images, args.out, args.bisenet, args.batch_size)
     elif args.stage == "caption":
-        run_caption(args.images, args.out)
+        from ..conditioning.captioner import make_captioner
+        captioner = make_captioner(args.captioner_cmd, args.captioner_url)
+        try:
+            run_caption(args.images, args.out, captioner)
+        finally:
+            if hasattr(captioner, "close"):
+                captioner.close()
     elif args.stage == "faceid":
         run_faceid(args.images, args.out, args.arcface, args.batch_size)
     elif args.stage == "fuse":

@@ -1,4 +1,4 @@
-"""Facial captioner interface.
+"""Facial captioner interface + external-VLM adapters.
 
 The reference optionally drives LLaVA-1.5 for facial captions
 (models/LLaVA, data/FGID_caption.py:36-116) but ships with it disabled: at
@@ -7,19 +7,30 @@ inference a fixed template is used instead
 pluggable interface: any callable image -> (caption, facial_detail_caption).
 
 `TemplateCaptioner` is the default (the reference's built-in template);
-`VLMCaptioner` adapts any local vision-language model exposing a
-`generate(image, prompt) -> str` method (e.g. a JAX/transformers VLM), using
-the reference's two FGID prompts.
+`VLMCaptioner` adapts any in-process vision-language model exposing
+`generate(image, prompt) -> str`; `SubprocessCaptioner`/`HTTPCaptioner`
+adapt an external VLM (a LLaVA server, a llama.cpp worker, any process)
+through a one-JSON-per-line stdin/stdout protocol or a POST endpoint, using
+the reference's two FGID prompts (data/FGID_caption.py:21-24). TPU stays
+dedicated to diffusion; the captioner runs wherever its weights live.
 """
 from __future__ import annotations
 
-from typing import Callable, Protocol, Tuple
+import base64
+import io
+import json
+import subprocess
+from typing import Callable, Optional, Protocol, Tuple
 
 FACE_CAPTION_TEMPLATE = (
     "The person has one face, one nose, two eyes, two ears, and one mouth.")
-CAPTION_PROMPT = "Please describe the people in the image, including their gender, age, clothing, and actions."
+# reference FGID prompts, whitespace quirk from the \-continuation included
+# (data/FGID_caption.py:21-24)
+CAPTION_PROMPT = ("Please describe the people in the image, including their "
+                  "gender,         age, clothing, facial expressions, and "
+                  "any other distinguishing features.")
 DETAIL_PROMPT = ("Describe this person's facial features for me, including "
-                 "face, ears, eyes, nose, and mouth.")
+                 "        face, ears, eyes, nose, and mouth.")
 
 
 class Captioner(Protocol):
@@ -50,3 +61,109 @@ class VLMCaptioner:
     def __call__(self, image) -> Tuple[str, str]:
         return (self.vlm.generate(image, self.caption_prompt),
                 self.vlm.generate(image, self.detail_prompt))
+
+
+def _image_payload(image) -> dict:
+    """str path -> {"image_path": ...}; PIL image -> {"image_b64": ...}."""
+    if isinstance(image, str):
+        return {"image_path": image}
+    buf = io.BytesIO()
+    image.save(buf, "PNG")
+    return {"image_b64": base64.b64encode(buf.getvalue()).decode()}
+
+
+class SubprocessCaptioner:
+    """External-process VLM over a persistent worker.
+
+    Protocol: one JSON object per line on stdin
+        {"prompt": str, "image_path": str} or {..., "image_b64": str}
+    one JSON object per line on stdout
+        {"text": str}   (or {"error": str} -> RuntimeError)
+
+    The worker is spawned once and reused for the whole dataset — the
+    process-per-stage layout of the reference's data/FGID.sh, but without
+    reloading 7B of weights per image. Use as a context manager or call
+    close() to terminate the worker.
+    """
+
+    def __init__(self, command, caption_prompt: str = CAPTION_PROMPT,
+                 detail_prompt: str = DETAIL_PROMPT):
+        if isinstance(command, str):
+            import shlex
+            command = shlex.split(command)
+        self._proc = subprocess.Popen(
+            command, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1)
+        self.caption_prompt = caption_prompt
+        self.detail_prompt = detail_prompt
+
+    def _ask(self, image, prompt: str) -> str:
+        req = {"prompt": prompt, **_image_payload(image)}
+        self._proc.stdin.write(json.dumps(req) + "\n")
+        self._proc.stdin.flush()
+        line = self._proc.stdout.readline()
+        if not line:
+            rc = self._proc.poll()
+            raise RuntimeError(f"captioner worker died (exit {rc})")
+        out = json.loads(line)
+        if "error" in out:
+            raise RuntimeError(f"captioner error: {out['error']}")
+        return out["text"]
+
+    def __call__(self, image) -> Tuple[str, str]:
+        return (self._ask(image, self.caption_prompt),
+                self._ask(image, self.detail_prompt))
+
+    def close(self):
+        if self._proc.poll() is None:
+            self._proc.stdin.close()
+            self._proc.wait(timeout=10)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class HTTPCaptioner:
+    """External VLM behind an HTTP endpoint.
+
+    POST {url} with JSON {"prompt": str, "image_b64"/"image_path": str},
+    response JSON {"text": str}.
+    """
+
+    def __init__(self, url: str, caption_prompt: str = CAPTION_PROMPT,
+                 detail_prompt: str = DETAIL_PROMPT,
+                 timeout: float = 120.0):
+        self.url = url
+        self.caption_prompt = caption_prompt
+        self.detail_prompt = detail_prompt
+        self.timeout = timeout
+
+    def _ask(self, image, prompt: str) -> str:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps({"prompt": prompt,
+                             **_image_payload(image)}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            return json.loads(r.read())["text"]
+
+    def __call__(self, image) -> Tuple[str, str]:
+        return (self._ask(image, self.caption_prompt),
+                self._ask(image, self.detail_prompt))
+
+
+def make_captioner(command: Optional[str] = None,
+                   url: Optional[str] = None) -> Callable:
+    """CLI helper: build the captioner from --captioner-cmd/--captioner-url
+    flags; the template default when neither is given (the reference's
+    shipped inference behavior)."""
+    if command:
+        return SubprocessCaptioner(command)
+    if url:
+        return HTTPCaptioner(url)
+    return TemplateCaptioner()
