@@ -74,9 +74,10 @@ def denoise(
         return w * stack[0] + (1.0 - w) * stack[1]
 
     is_dpmpp = plan.kind == "dpmpp_2m"
+    is_pndm = plan.kind == "pndm"
 
     def body(carry, scan_in):
-        x, prev_x0 = carry
+        x, prev_x0, cur_sample, e_hist = carry
         i, consts, key = scan_in
         t, c_in = consts[0], consts[1]
         context = jnp.concatenate(
@@ -104,6 +105,22 @@ def denoise(
                           - rr.astype(x.dtype) * prev_x0)
             x_next = ratio.astype(x.dtype) * x - gamma.astype(x.dtype) * d
             prev_x0 = x0
+        elif is_pndm:
+            # PLMS: Adams-Bashforth combination of the eps history; the
+            # counter-1 eval re-applies the warmup transfer from the held
+            # cur_sample (diffusers step_plms semantics)
+            coef_x, coef_e = consts[2], consts[3]
+            w = consts[5:9].astype(x.dtype)
+            use_cur = consts[9]
+            eps_used = (w[0] * eps + w[1] * e_hist[0]
+                        + w[2] * e_hist[1] + w[3] * e_hist[2])
+            base = jnp.where(use_cur > 0.5, cur_sample, x)
+            x_next = (coef_x.astype(x.dtype) * base
+                      + coef_e.astype(x.dtype) * eps_used)
+            cur_sample = jnp.where(i == 0, x, cur_sample)
+            push = (use_cur <= 0.5)  # history not updated at counter 1
+            pushed = jnp.stack([eps, e_hist[0], e_hist[1]])
+            e_hist = jnp.where(push, pushed, e_hist)
         else:
             coef_x, coef_e, coef_n = consts[2], consts[3], consts[4]
             x_next = (coef_x.astype(x.dtype) * x
@@ -119,9 +136,10 @@ def denoise(
             x_next = ((1.0 - inpaint_mask).astype(x.dtype) *
                       target.astype(x.dtype)
                       + inpaint_mask.astype(x.dtype) * x_next)
-        return (x_next, prev_x0), None
+        return (x_next, prev_x0, cur_sample, e_hist), None
 
-    (final, _), _ = jax.lax.scan(
-        body, (latents, jnp.zeros_like(latents)),
-        (step_idx, steps, noise_keys))
+    init = (latents, jnp.zeros_like(latents), jnp.zeros_like(latents),
+            jnp.zeros((3, *latents.shape), latents.dtype))
+    (final, _, _, _), _ = jax.lax.scan(
+        body, init, (step_idx, steps, noise_keys))
     return final

@@ -91,6 +91,11 @@ class SamplerPlan:
     ratio: np.ndarray | None = None     # (T,) sigma_{t+1}/sigma_t
     gamma: np.ndarray | None = None     # (T,) alpha_{t+1}*(exp(-h)-1)
     rr: np.ndarray | None = None        # (T,) 1/(2r), 0 at step 0
+    # pndm (PLMS) extras: per-step linear-multistep weights over
+    # [eps_new, hist[0], hist[1], hist[2]] and the counter-1 flag that
+    # re-applies the first transfer from the held cur_sample
+    plms_w: np.ndarray | None = None    # (T, 4)
+    use_cur: np.ndarray | None = None   # (T,) 0/1
 
     @property
     def num_steps(self) -> int:
@@ -103,6 +108,9 @@ class SamplerPlan:
         if self.kind == "dpmpp_2m":
             cols += [self.c_alpha, self.c_sigma, self.ratio, self.gamma,
                      self.rr]
+        if self.kind == "pndm":
+            cols += [self.plms_w[:, i] for i in range(4)]
+            cols += [self.use_cur]
         return jnp.stack([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
 
 
@@ -230,6 +238,66 @@ def dpmpp_2m_plan(schedule: NoiseSchedule, num_steps: int) -> SamplerPlan:
     )
 
 
+def pndm_plan(schedule: NoiseSchedule, num_steps: int) -> SamplerPlan:
+    """PNDM with skip_prk_steps (= PLMS), the stock scheduler the reference
+    SD1.5 base pipeline carries before infer.py:33 swaps Euler in.
+
+    The diffusers PLMS loop makes num_steps+1 UNet evaluations: the first
+    two (at t_max and t_max-step, the duplicated entry in its timestep
+    array) jointly form one improved-Euler warmup step re-applied from the
+    held cur_sample; afterwards each eval is a 2nd/3rd/4th-order
+    Adams-Bashforth combination of the stored eps history. Expressed here
+    as per-eval tables: the marginal-transfer coefficients
+      x' = coef_x * base - |coef_e| * eps_used   (exact for true eps)
+    plus a (T, 4) multistep weight matrix and the counter-1 flag."""
+    cfg = schedule.config
+    acp = schedule.alphas_cumprod.astype(np.float64)
+    final_alpha = 1.0 if cfg.set_alpha_to_one else float(acp[0])
+    step = cfg.num_train_timesteps // num_steps
+    ts = _leading_timesteps(cfg, num_steps)                  # descending
+    n_evals = num_steps + 1
+    t_eval = np.concatenate([[ts[0]], ts])                   # dup warmup
+    # transfer pairs: evals 0 and 1 both apply (ts[0] -> ts[1]); eval i>=2
+    # applies (ts[i-1] -> ts[i-1]-step)
+    t_from = np.concatenate([[ts[0], ts[0]], ts[1:]])
+    t_to = t_from - step
+    a_t = acp[t_from]
+    a_prev = np.where(t_to >= 0, acp[np.clip(t_to, 0, None)], final_alpha)
+    sample_coeff = np.sqrt(a_prev / a_t)
+    denom = a_t * np.sqrt(1.0 - a_prev) + np.sqrt(
+        a_t * (1.0 - a_t) * a_prev)
+    eps_coeff = (a_prev - a_t) / denom
+
+    w = np.zeros((n_evals, 4))
+    for i in range(n_evals):
+        if i == 0:
+            w[i] = [1.0, 0.0, 0.0, 0.0]
+        elif i == 1:
+            w[i] = [0.5, 0.5, 0.0, 0.0]
+        elif i == 2:
+            w[i] = [1.5, -0.5, 0.0, 0.0]
+        elif i == 3:
+            w[i] = [23 / 12, -16 / 12, 5 / 12, 0.0]
+        else:
+            w[i] = [55 / 24, -59 / 24, 37 / 24, -9 / 24]
+    use_cur = (np.arange(n_evals) == 1).astype(np.float64)
+
+    a_eval = acp[t_eval]
+    return SamplerPlan(
+        timesteps=t_eval.astype(np.float32),
+        c_in=np.ones(n_evals, np.float32),
+        coef_x=sample_coeff.astype(np.float32),
+        coef_e=(-eps_coeff).astype(np.float32),
+        coef_n=np.zeros(n_evals, np.float32),
+        init_scale=1.0,
+        noise_x=np.sqrt(a_eval).astype(np.float32),
+        noise_e=np.sqrt(1.0 - a_eval).astype(np.float32),
+        kind="pndm",
+        plms_w=w.astype(np.float32),
+        use_cur=use_cur.astype(np.float32),
+    )
+
+
 def plan_tail(plan: SamplerPlan, strength: float) -> SamplerPlan:
     """Keep the last int(T * strength) steps (img2img/inpaint truncation,
     reference StableDIffusionInpaint_ConsistentID.py:246-248).
@@ -247,17 +315,32 @@ def plan_tail(plan: SamplerPlan, strength: float) -> SamplerPlan:
     updates = {}
     for f in _dc.fields(plan):
         v = getattr(plan, f.name)
-        if isinstance(v, np.ndarray) and v.shape == (plan.num_steps,):
+        if isinstance(v, np.ndarray) and v.shape[:1] == (plan.num_steps,):
             updates[f.name] = v[t_start:]
     if plan.rr is not None:
         rr = updates["rr"].copy()
         rr[0] = 0.0
         updates["rr"] = rr
+    if plan.kind == "pndm":
+        # multistep restart: the truncated trajectory has no eps history or
+        # held cur_sample, so ramp the Adams-Bashforth order back up
+        w = updates["plms_w"].copy()
+        restart = np.array([[1.0, 0.0, 0.0, 0.0],
+                            [1.5, -0.5, 0.0, 0.0],
+                            [23 / 12, -16 / 12, 5 / 12, 0.0],
+                            [55 / 24, -59 / 24, 37 / 24, -9 / 24]],
+                           np.float32)
+        for i in range(min(4, len(w))):
+            w[i] = restart[i]
+        updates["plms_w"] = w
+        uc = updates["use_cur"].copy()
+        uc[:] = 0.0
+        updates["use_cur"] = uc
     return _dc.replace(plan, **updates)
 
 
 PLAN_BUILDERS = {"ddim": ddim_plan, "euler": euler_plan, "ddpm": ddpm_plan,
-                 "dpmpp_2m": dpmpp_2m_plan}
+                 "dpmpp_2m": dpmpp_2m_plan, "pndm": pndm_plan}
 
 
 def make_plan(schedule: NoiseSchedule, name: str, num_steps: int) -> SamplerPlan:

@@ -61,7 +61,8 @@ def test_inpaint_recomposition_pins_unmasked_latents(inpaint_pipe):
     assert not np.array_equal(c, d)
 
 
-@pytest.mark.parametrize("scheduler", ["ddim", "euler", "ddpm", "dpmpp_2m"])
+@pytest.mark.parametrize("scheduler",
+                         ["ddim", "euler", "ddpm", "dpmpp_2m", "pndm"])
 @pytest.mark.parametrize("strength", [1.0, 0.6])
 def test_inpaint_every_scheduler_nondegenerate(inpaint_pipe, scheduler,
                                                strength):
@@ -83,7 +84,7 @@ def test_inpaint_every_scheduler_nondegenerate(inpaint_pipe, scheduler,
     assert not np.array_equal(a, b), (scheduler, strength)
 
 
-@pytest.mark.parametrize("scheduler", ["ddim", "euler", "dpmpp_2m"])
+@pytest.mark.parametrize("scheduler", ["ddim", "euler", "dpmpp_2m", "pndm"])
 def test_t2i_every_scheduler_nondegenerate(scheduler):
     import jax as _jax
 

@@ -152,7 +152,7 @@ def test_dpmpp_2m_exact_on_constant_x0(schedule):
     np.testing.assert_allclose(x, x0, atol=1e-3)
 
 
-@pytest.mark.parametrize("name", ["ddim", "euler", "dpmpp_2m"])
+@pytest.mark.parametrize("name", ["ddim", "euler", "dpmpp_2m", "pndm"])
 @pytest.mark.parametrize("strength", [1.0, 0.6, 0.25])
 def test_plan_tail_oracle_eps_recovers_x0(schedule, name, strength):
     """img2img truncation invariant: starting from the plan's own noising of
@@ -166,7 +166,8 @@ def test_plan_tail_oracle_eps_recovers_x0(schedule, name, strength):
     from consistentid_tpu.sampling.schedulers import plan_tail
 
     plan = plan_tail(make_plan(schedule, name, 20), strength)
-    assert plan.kind == ("dpmpp_2m" if name == "dpmpp_2m" else "affine")
+    want_kind = {"dpmpp_2m": "dpmpp_2m", "pndm": "pndm"}.get(name, "affine")
+    assert plan.kind == want_kind
     plan = dataclasses.replace(plan, init_scale=1.0)
 
     rng = np.random.RandomState(2)
@@ -180,10 +181,10 @@ def test_plan_tail_oracle_eps_recovers_x0(schedule, name, strength):
     br = CondBranch(context=jnp.zeros((1, 5, 8)), null=jnp.zeros((1, 5, 8)))
     out = denoise(unet_fn, latents, br, br, plan, jnp.float32(1.0),
                   jnp.int32(0))
-    # ddim with set_alpha_to_one=False terminates at acp[0] (not exactly 1),
-    # leaving a ~sqrt(1-acp[0])·|eps| ≈ 0.03 residual; the bugs this guards
-    # against (zero collapse, wrong-space init) produce O(0.5-1) errors.
-    atol = 0.1 if name == "ddim" else 5e-3
+    # ddim/pndm with set_alpha_to_one=False terminate at acp[0] (not exactly
+    # 1), leaving a ~sqrt(1-acp[0])·|eps| ≈ 0.03 residual; the bugs this
+    # guards against (zero collapse, wrong-space init) give O(0.5-1) errors.
+    atol = 0.1 if name in ("ddim", "pndm") else 5e-3
     np.testing.assert_allclose(np.asarray(out), x0, atol=atol)
 
 
@@ -192,19 +193,26 @@ def test_plan_tail_preserves_tables(schedule):
     from consistentid_tpu.sampling import make_plan
     from consistentid_tpu.sampling.schedulers import plan_tail
 
-    for name in ["ddim", "euler", "ddpm", "dpmpp_2m"]:
+    for name in ["ddim", "euler", "ddpm", "dpmpp_2m", "pndm"]:
         full = make_plan(schedule, name, 20)
+        t0 = full.num_steps - int(full.num_steps * 0.5)
         tail = plan_tail(full, 0.5)
-        assert tail.num_steps == 10
+        assert tail.num_steps == full.num_steps - t0
         assert tail.kind == full.kind
-        np.testing.assert_array_equal(tail.timesteps, full.timesteps[10:])
-        np.testing.assert_array_equal(tail.c_in, full.c_in[10:])
-        np.testing.assert_array_equal(tail.noise_e, full.noise_e[10:])
+        np.testing.assert_array_equal(tail.timesteps, full.timesteps[t0:])
+        np.testing.assert_array_equal(tail.c_in, full.c_in[t0:])
+        np.testing.assert_array_equal(tail.noise_e, full.noise_e[t0:])
         if name == "dpmpp_2m":
             assert tail.rr[0] == 0.0
-            np.testing.assert_array_equal(tail.ratio, full.ratio[10:])
-            np.testing.assert_array_equal(tail.gamma, full.gamma[10:])
-            np.testing.assert_array_equal(tail.rr[1:], full.rr[11:])
+            np.testing.assert_array_equal(tail.ratio, full.ratio[t0:])
+            np.testing.assert_array_equal(tail.gamma, full.gamma[t0:])
+            np.testing.assert_array_equal(tail.rr[1:], full.rr[t0 + 1:])
+        if name == "pndm":
+            # history restart: warmup weights, no cur_sample reuse
+            np.testing.assert_array_equal(tail.plms_w[0], [1, 0, 0, 0])
+            assert (tail.use_cur == 0).all()
+            np.testing.assert_array_equal(tail.plms_w[4:],
+                                          full.plms_w[t0 + 4:])
         assert plan_tail(full, 1.0) is full
 
 
