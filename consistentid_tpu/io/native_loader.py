@@ -13,7 +13,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 
@@ -58,7 +58,9 @@ def get_lib():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
     lib.fgid_loader_next.restype = ctypes.c_int
     lib.fgid_loader_next.argtypes = [ctypes.c_void_p,
-                                     ctypes.POINTER(ctypes.c_float)]
+                                     ctypes.POINTER(ctypes.c_float),
+                                     ctypes.POINTER(ctypes.c_longlong),
+                                     ctypes.POINTER(ctypes.c_uint8)]
     lib.fgid_loader_destroy.argtypes = [ctypes.c_void_p]
     lib.fgid_decode_resize.restype = ctypes.c_int
     lib.fgid_decode_resize.argtypes = [
@@ -88,8 +90,24 @@ def decode_resize_normalize(path: str, height: int, width: int,
     return out if rc == 0 else None
 
 
+class LoaderBatch(NamedTuple):
+    """One decoded batch, delivered strictly in path order.
+
+    start:  index into the constructor's path list of images[0]
+    images: (batch, H, W, 3) fp32; failed/padded slots are all-zero
+    ok:     (batch,) bool decode-success flags for safe label pairing
+    """
+    start: int
+    images: np.ndarray
+    ok: np.ndarray
+
+
 class NativeImageLoader:
-    """Iterate (batch, H, W, 3) fp32 arrays decoded by the C++ worker pool."""
+    """Iterate LoaderBatch tuples decoded by the C++ worker pool.
+
+    Batches arrive in path order regardless of worker completion order, so
+    labels/captions paired by position on the Python side can never mispair
+    (the C++ side reorders; see native/fgid_loader.cpp fgid_loader_next)."""
 
     def __init__(self, paths: List[str], height: int, width: int,
                  batch: int, threads: int = 4,
@@ -109,18 +127,21 @@ class NativeImageLoader:
     def __iter__(self):
         return self
 
-    def __next__(self) -> np.ndarray:
+    def __next__(self) -> LoaderBatch:
         if self._exhausted:
             raise StopIteration
         out = np.empty((self.batch, self.height, self.width, 3), np.float32)
+        start = ctypes.c_longlong(-1)
+        ok = np.zeros((self.batch,), np.uint8)
         rc = self._lib.fgid_loader_next(
-            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(start), ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if rc < 0:
             self._exhausted = True
             raise StopIteration
         if rc == 0:
             self._exhausted = True
-        return out
+        return LoaderBatch(int(start.value), out, ok.astype(bool))
 
     def close(self):
         if self._handle:

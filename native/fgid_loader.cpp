@@ -16,8 +16,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <mutex>
-#include <queue>
 #include <string>
 #include <thread>
 #include <vector>
@@ -171,6 +171,12 @@ void resize_normalize(const Image& img, int out_h, int out_w,
   }
 }
 
+struct Batch {
+  size_t start = 0;               // index of the batch's first path
+  std::vector<uint8_t> ok;        // per-image decode success flags
+  std::vector<float> buf;
+};
+
 struct Loader {
   std::vector<std::string> paths;
   int out_h, out_w, batch, threads;
@@ -179,9 +185,13 @@ struct Loader {
   std::vector<std::thread> workers;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
-  std::queue<std::vector<float>> ready;   // decoded batches (prefetch queue)
-  size_t next_index = 0;                  // next path to schedule
-  size_t batches_total = 0, batches_produced = 0, batches_consumed = 0;
+  // workers finish out of order; batches are keyed by start index and the
+  // consumer always takes the next IN-ORDER batch, so labels/captions
+  // paired by position on the Python side can never mispair
+  std::map<size_t, Batch> ready;
+  size_t next_index = 0;          // next path to schedule
+  size_t next_consume = 0;        // start index the consumer waits for
+  size_t batches_total = 0, batches_consumed = 0;
   size_t max_queue = 4;
   std::atomic<bool> stop{false};
 
@@ -194,22 +204,30 @@ struct Loader {
         start = next_index;
         next_index += batch;
       }
-      std::vector<float> buf(size_t(batch) * out_h * out_w * 3, 0.0f);
+      Batch b;
+      b.start = start;
+      b.ok.assign(batch, 0);
+      b.buf.assign(size_t(batch) * out_h * out_w * 3, 0.0f);
       for (int i = 0; i < batch && start + i < paths.size(); ++i) {
         Image img;
         if (decode_file(paths[start + i].c_str(), &img) && img.h && img.w) {
           resize_normalize(img, out_h, out_w, mean, std_,
-                           buf.data() + size_t(i) * out_h * out_w * 3);
+                           b.buf.data() + size_t(i) * out_h * out_w * 3);
+          b.ok[i] = 1;
         }
       }
       {
         std::unique_lock<std::mutex> lk(mu);
-        cv_space.wait(lk, [&] { return stop || ready.size() < max_queue; });
+        // the consumer-wanted batch always bypasses the space limit, else a
+        // full queue of out-of-order batches would deadlock against the
+        // blocked in-order consumer
+        cv_space.wait(lk, [&] {
+          return stop || ready.size() < max_queue || start == next_consume;
+        });
         if (stop) return;
-        ready.push(std::move(buf));
-        ++batches_produced;
+        ready.emplace(start, std::move(b));
       }
-      cv_ready.notify_one();
+      cv_ready.notify_all();
     }
   }
 };
@@ -235,23 +253,32 @@ void* fgid_loader_create(const char** paths, int n_paths, int out_h,
   return l;
 }
 
-// Blocks until a batch is ready; returns number of batches remaining
-// after this one, or -1 when exhausted. out must hold batch*H*W*3 floats.
-int fgid_loader_next(void* handle, float* out) {
+// Blocks until the next IN-ORDER batch is ready; returns number of batches
+// remaining after this one, or -1 when exhausted. out must hold
+// batch*H*W*3 floats; start_index receives the batch's first path index;
+// ok (len batch) receives per-image decode-success flags (failed or padded
+// slots are all-zero images with ok=0).
+int fgid_loader_next(void* handle, float* out, long long* start_index,
+                     uint8_t* ok) {
   auto* l = static_cast<Loader*>(handle);
-  std::vector<float> buf;
+  Batch b;
   size_t remaining;
   {
     std::unique_lock<std::mutex> lk(l->mu);
     if (l->batches_consumed >= l->batches_total) return -1;
-    l->cv_ready.wait(lk, [&] { return !l->ready.empty(); });
-    buf = std::move(l->ready.front());
-    l->ready.pop();
+    const size_t want = l->next_consume;
+    l->cv_ready.wait(lk, [&] { return l->ready.count(want) != 0; });
+    auto it = l->ready.find(want);
+    b = std::move(it->second);
+    l->ready.erase(it);
+    l->next_consume += l->batch;
     ++l->batches_consumed;
     remaining = l->batches_total - l->batches_consumed;
   }
-  l->cv_space.notify_one();
-  std::memcpy(out, buf.data(), buf.size() * sizeof(float));
+  l->cv_space.notify_all();  // next_consume moved; re-check bypass predicate
+  std::memcpy(out, b.buf.data(), b.buf.size() * sizeof(float));
+  if (start_index) *start_index = (long long)b.start;
+  if (ok) std::memcpy(ok, b.ok.data(), b.ok.size());
   return int(remaining);
 }
 

@@ -50,8 +50,35 @@ def test_batched_loader(image_dir):
     loader = NativeImageLoader(image_dir, 32, 32, batch=4, threads=2)
     batches = list(loader)
     assert len(batches) == 2   # 6 images, batch 4 -> 2 batches (last padded)
-    assert batches[0].shape == (4, 32, 32, 3)
-    assert np.isfinite(batches[0]).all()
+    assert batches[0].images.shape == (4, 32, 32, 3)
+    assert np.isfinite(batches[0].images).all()
     # at least the first image decoded to non-zero content
-    assert np.abs(batches[0][0]).sum() > 0
+    assert np.abs(batches[0].images[0]).sum() > 0
+    # in-order delivery with per-image ok flags; padded tail slots are not-ok
+    assert [b.start for b in batches] == [0, 4]
+    assert batches[0].ok.all()
+    assert list(batches[1].ok) == [True, True, False, False]
+    assert np.abs(batches[1].images[2:]).sum() == 0
+    loader.close()
+
+
+def test_loader_order_and_pairing_under_contention(image_dir, tmp_path):
+    """Many small batches + more workers than batches in flight: completion
+    order is scrambled but delivery must stay in path order, and failed
+    decodes must be flagged rather than silently zero-filled."""
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    bad = tmp_path / "corrupt.jpg"
+    bad.write_bytes(b"not an image")
+    # 25 paths, one bad, batch 2 -> 13 batches, workers race for slots
+    paths = (image_dir * 4)[:24]
+    paths.insert(7, str(bad))
+    loader = NativeImageLoader(paths, 16, 16, batch=2, threads=6)
+    starts, oks = [], []
+    for b in loader:
+        starts.append(b.start)
+        oks.extend(b.ok[: max(0, min(2, len(paths) - b.start))])
+    assert starts == list(range(0, 25, 2))
+    expected_ok = [i != 7 for i in range(25)]
+    assert oks == expected_ok
     loader.close()
