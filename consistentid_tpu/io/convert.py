@@ -437,14 +437,35 @@ def scrfd_from_torch(sd: Mapping[str, np.ndarray], cfg=None):
 
 # -- ArcFace iresnet (torch-export naming, e.g. insightface ONNX/pt) ----------
 
+def iresnet_config_from_state(sd: Mapping[str, np.ndarray]):
+    """(layers, spatial) inferred from an iresnet state dict's names+shapes
+    (r50 = (3,4,14,3)/7, r100 = (3,13,30,3)/7, tiny test packs vary)."""
+    layers = []
+    for li in range(1, 5):
+        n = 0
+        while f"layer{li}.{n}.conv1.weight" in sd:
+            n += 1
+        layers.append(n)
+    c = sd["bn2.weight"].shape[0]
+    spatial = int(round((sd["fc.weight"].shape[1] // c) ** 0.5))
+    return tuple(layers), spatial
+
+
 def iresnet_from_torch(sd: Mapping[str, np.ndarray],
-                       layers=(3, 4, 14, 3), spatial: int = 7):
+                       layers=None, spatial: int = None):
     """ArcFace iresnet state dict (conv1/bn1/prelu/layer{i}.{j}.*/bn2/fc/
     features naming, as preserved by torch-exported insightface packs) ->
     (params, batch_stats) for models.arcface.IResNet.
 
+    layers/spatial default to inference from the state dict itself
+    (iresnet_config_from_state), so r50/r100/tiny packs all load without a
+    variant table.
+
     The fc weight is permuted for NHWC flattening: torch flattens (C,H,W),
     our model flattens (H,W,C)."""
+    inf_layers, inf_spatial = iresnet_config_from_state(sd)
+    layers = inf_layers if layers is None else layers
+    spatial = inf_spatial if spatial is None else spatial
     params, stats = {}, {}
     params["conv1"] = conv(sd, "conv1", bias=False)
     params["bn1"], stats["bn1"] = _bn(sd, "bn1")

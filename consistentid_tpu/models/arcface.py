@@ -110,11 +110,30 @@ def normalized_embedding(embedding: jax.Array) -> jax.Array:
     return embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True)
 
 
-def make_face_embedder(params, batch_stats, variant: str = "iresnet50",
+def iresnet_arch_from_params(params):
+    """(layers, embedding_dim, input_size) inferred from a converted param
+    tree, so r50/r100/tiny packs all build the right model without a
+    variant table."""
+    layers = []
+    for li in range(1, 5):
+        n = 0
+        while f"layer{li}_{n}" in params:
+            n += 1
+        layers.append(n)
+    embedding_dim = int(params["fc"]["bias"].shape[0])
+    c = int(params["bn2"]["scale"].shape[0])
+    spatial = int(round((params["fc"]["kernel"].shape[0] // c) ** 0.5))
+    return tuple(layers), embedding_dim, spatial * 16
+
+
+def make_face_embedder(params, batch_stats, variant: str = None,
                        detector=None, allow_center_crop: bool = False):
-    """PIL image -> (1, 512) L2-normalized numpy embedding; the pipeline's
+    """PIL image -> (1, D) L2-normalized numpy embedding; the pipeline's
     `face_embedder` hook (reference FaceAnalysis detect->align->embed,
     pipline_StableDiffusion_ConsistentID.py:217-226).
+
+    The iresnet architecture (depth/dim/input size) is inferred from the
+    params themselves; `variant` (an IRESNET_LAYERS key) overrides.
 
     detector: a models.scrfd.make_face_detector callable (PIL -> (aligned
     112x112 RGB float [0,255], score, box)). When the detector finds no face
@@ -131,7 +150,11 @@ def make_face_embedder(params, batch_stats, variant: str = "iresnet50",
             "make_face_detector) or allow_center_crop=True for pre-aligned "
             "inputs")
 
-    model = IResNet(layers=IRESNET_LAYERS[variant])
+    layers, embedding_dim, input_size = iresnet_arch_from_params(params)
+    if variant is not None:
+        layers = IRESNET_LAYERS[variant]
+    model = IResNet(layers=layers, embedding_dim=embedding_dim,
+                    input_size=input_size)
     variables = {"params": params, "batch_stats": batch_stats}
 
     @jax.jit
@@ -142,15 +165,21 @@ def make_face_embedder(params, batch_stats, variant: str = "iresnet50",
         if detector is not None:
             aligned, score, _ = detector(image)
             if score <= 0.0:
-                return np.zeros((1, 512), np.float32)  # reference :220-221
-            arr = np.asarray(aligned, np.float32) / 127.5 - 1.0
+                # reference :220-221
+                return np.zeros((1, embedding_dim), np.float32)
+            arr = np.asarray(aligned, np.float32)
+            if arr.shape[0] != input_size:
+                arr = np.asarray(Image.fromarray(
+                    arr.astype(np.uint8)).resize((input_size, input_size),
+                                                 Image.BILINEAR), np.float32)
+            arr = arr / 127.5 - 1.0
         else:
             image = image.convert("RGB")
             w, h = image.size
             side = min(w, h)
             image = image.crop(((w - side) // 2, (h - side) // 2,
                                 (w + side) // 2, (h + side) // 2))
-            image = image.resize((112, 112), Image.BILINEAR)
+            image = image.resize((input_size, input_size), Image.BILINEAR)
             arr = np.asarray(image, np.float32) / 127.5 - 1.0
         return np.asarray(run(jnp.asarray(arr[None])))
 

@@ -223,6 +223,7 @@ class ConsistentIDPipeline:
         self._core_jit = jax.jit(
             self._generate_core,
             static_argnames=("num_steps", "scheduler"))
+        self._last_core_args = None  # for last_cost_analysis()
 
     # ---------------- host-side prepare ----------------
 
@@ -435,7 +436,7 @@ class ConsistentIDPipeline:
             cond = {k: jax.device_put(v, replicated(self.mesh))
                     for k, v in cond.items()}
 
-        images = self._core_jit(
+        self._last_core_args = (
             self.params, cond, latents,
             jnp.float32(guidance_scale if guidance_scale is not None
                         else cfg.guidance_scale),
@@ -443,6 +444,7 @@ class ConsistentIDPipeline:
                       else cfg.start_merge_step),
             num_steps, scheduler, jnp.float32(ip_scale),
             jnp.float32(lora_scale), jax.random.fold_in(rng, 1))
+        images = self._core_jit(*self._last_core_args)
         if return_latents:
             return np.asarray(images)
         return self._postprocess(images)
@@ -502,10 +504,71 @@ class ConsistentIDPipeline:
         else:
             rng = jax.random.PRNGKey(seed)
             latents = jax.random.normal(rng, (n, *shape), jnp.float32)
-        images = self._core_jit(
+        self._last_core_args = (
             self.params, cond, latents, jnp.float32(guidance),
             jnp.int32(merge), num_steps, scheduler,
             jnp.float32(kwargs.pop("ip_scale", 1.0)),
             jnp.float32(kwargs.pop("lora_scale", 1.0)),
             jax.random.fold_in(rng, 1))
+        images = self._core_jit(*self._last_core_args)
         return self._postprocess(images)
+
+    def _step_example(self):
+        """(x, t, context, added) example arrays replicating one in-scan CFG
+        UNet pair call from the last generate() — shapes via eval_shape, no
+        device execution."""
+        params, cond, latents = self._last_core_args[:3]
+        n = latents.shape[0]
+        _, aug_e, _ = jax.eval_shape(self.encode_embeddings, params, cond)
+        x = jnp.zeros((2 * n, *latents.shape[1:]), latents.dtype)
+        t = jnp.zeros((2 * n,), jnp.float32)
+        ctx = jnp.zeros((2 * n, aug_e.shape[1], aug_e.shape[2]), aug_e.dtype)
+        return x, t, ctx, None
+
+    def step_flops(self) -> Optional[float]:
+        """FLOPs of one CFG denoise step (the in-scan UNet pair call).
+
+        XLA's cost analysis counts a lax.scan body ONCE regardless of trip
+        count, and Pallas flash-attention custom calls report zero flops —
+        so last_cost_analysis() alone wildly under-reports the denoise loop.
+        This lowers a single UNet pair call on the XLA attention path (same
+        matmuls as the flash kernel) and counts that; bench-level totals are
+        step_flops * num_steps + encode/decode from last_cost_analysis()."""
+        if self._last_core_args is None:
+            return None
+        from ..ops import attention as attn_ops
+        params = self._last_core_args[0]
+        x, t, ctx, added = self._step_example()
+
+        def pair(params, x, t, ctx, added):
+            return self.bundle.unet.apply(
+                {"params": params["unet"]}, x, t, ctx, added_cond=added)
+
+        old = attn_ops._FLASH_DISABLED
+        attn_ops._FLASH_DISABLED = True
+        try:
+            lowered = jax.jit(pair).lower(params, x, t, ctx, added)
+        finally:
+            attn_ops._FLASH_DISABLED = old
+        try:
+            ca = lowered.cost_analysis()
+        except Exception:
+            ca = None
+        if not ca:  # some backends (TPU) only analyze post-compile
+            ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) if ca else None
+
+    def last_cost_analysis(self) -> Optional[dict]:
+        """XLA cost analysis of the last executed core graph (flops, bytes
+        accessed) — the exact compiled executable's numbers, not an analytic
+        estimate. Returns None before the first generate call. Cheap after a
+        call: lower/compile hit jit's in-memory executable cache."""
+        if self._last_core_args is None:
+            return None
+        compiled = self._core_jit.lower(*self._last_core_args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax: one dict per device
+            ca = ca[0]
+        return dict(ca) if ca else None

@@ -179,6 +179,23 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
         return self.bundle.vae.apply({"params": params["vae"]}, final,
                                      method=AutoencoderKL.decode)
 
+    def _step_example(self):
+        """SDXL variant: dual-tower context width + pooled/time_ids added
+        conds in the in-scan CFG UNet pair call."""
+        params, cond, latents = self._last_core_args[:3]
+        n = latents.shape[0]
+        text_b, _ = jax.eval_shape(self.encode_embeddings_xl, params, cond)
+        x = jnp.zeros((2 * n, *latents.shape[1:]), latents.dtype)
+        t = jnp.zeros((2 * n,), jnp.float32)
+        ctx = jnp.zeros((2 * n, text_b.context.shape[1],
+                         text_b.context.shape[2]), text_b.context.dtype)
+        added = {
+            "text_embeds": jnp.zeros((2 * n, text_b.pooled.shape[-1]),
+                                     text_b.pooled.dtype),
+            "time_ids": jnp.zeros((2 * n, 6), jnp.float32),
+        }
+        return x, t, ctx, added
+
     def prepare_conditioning(self, prompt, face_image, parsing_labels=None,
                              faceid_embeds=None, face_caption=None,
                              negative_prompt="", max_num_facials=5,

@@ -107,9 +107,13 @@ def load_sd15_consistentid(
     num_tokens: int = 4,
     pipeline_config: Optional[PipelineConfig] = None,
     with_safety_checker: bool = True,
+    bundle: Optional[SD15Bundle] = None,
 ) -> ConsistentIDPipeline:
-    """Assemble the SD1.5 ConsistentID pipeline from local checkpoints."""
-    bundle = SD15Bundle(
+    """Assemble the SD1.5 ConsistentID pipeline from local checkpoints.
+
+    bundle: override the model configs (default: full-size SD1.5) — used by
+    apps.validate to drive the full load path at toy scale."""
+    bundle = bundle or SD15Bundle(
         unet_config=sd15_unet_config(lora_rank=lora_rank,
                                      ip_num_tokens=num_tokens),
         adapter_config=AdapterConfig(lora_rank=lora_rank,
@@ -177,6 +181,7 @@ def load_sdxl_consistentid(
     lora_rank: int = 128,
     num_tokens: int = 4,
     pipeline_config: Optional[PipelineConfig] = None,
+    bundle=None,
 ):
     """Assemble the SDXL ConsistentID pipeline from local checkpoints
     (reference pipline_StableDiffusionXL_ConsistentID.py:104-176: prefixes
@@ -186,7 +191,7 @@ def load_sdxl_consistentid(
     from .consistentid_sdxl import (ConsistentIDXLPipeline, SDXLBundle,
                                     sdxl_adapter_config)
 
-    bundle = SDXLBundle(
+    bundle = bundle or SDXLBundle(
         unet_config=sdxl_unet_config(lora_rank=lora_rank,
                                      ip_num_tokens=num_tokens),
         adapter_config=sdxl_adapter_config(lora_rank=lora_rank,

@@ -13,6 +13,44 @@ from consistentid_tpu.core import (AdapterConfig, CLIPTextConfig,
                                    CLIPVisionConfig, UNetConfig, VAEConfig)
 
 
+def tiny_sdxl_bundle():
+    """A complete SDXL ConsistentID bundle at toy scale (random weights)."""
+    from consistentid_tpu.pipelines import SDXLBundle
+
+    return SDXLBundle(
+        unet_config=UNetConfig(
+            block_out_channels=(32, 64, 64),
+            layers_per_block=1,
+            down_block_has_attn=(False, True, True),
+            transformer_layers_per_block=(0, 1, 2),
+            mid_transformer_depth=2,
+            num_attention_heads=(2, 2, 4),
+            cross_attention_dim=96,          # 32 + 64 dual-tower concat
+            norm_num_groups=8,
+            addition_embed_type="text_time",
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=8 * 6 + 64,
+            lora_rank=4,
+            ip_num_tokens=4,
+        ),
+        adapter_config=AdapterConfig(
+            cross_attention_dim=96, id_embeddings_dim=16,
+            clip_embeddings_dim=32, facial_dim=64, facial_depth=2,
+            facial_heads=2, facial_output_dim=96, lora_rank=4,
+            shortcut=True),
+        vae_config=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                             norm_num_groups=8, scaling_factor=0.13025),
+        text_config=CLIPTextConfig(hidden_size=32, intermediate_size=64,
+                                   num_layers=2, num_heads=2),
+        text_config_2=CLIPTextConfig(hidden_size=64, intermediate_size=128,
+                                     num_layers=2, num_heads=2,
+                                     hidden_act="gelu"),
+        vision_config=CLIPVisionConfig(image_size=28, patch_size=14,
+                                       hidden_size=32, intermediate_size=64,
+                                       num_layers=2, num_heads=2),
+    )
+
+
 def tiny_bundle():
     """A complete SD1.5 ConsistentID bundle at toy scale (random weights)."""
     from consistentid_tpu.pipelines import SD15Bundle

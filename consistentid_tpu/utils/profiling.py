@@ -35,6 +35,41 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+# Peak dense bf16/fp16 TFLOP/s per chip, by jax device_kind substring
+# (public spec-sheet numbers; first match wins, checked in order).
+_PEAK_TFLOPS = (
+    ("v6", 918.0),        # Trillium / v6e
+    ("v5p", 459.0),
+    ("v5", 197.0),        # v5e reports device_kind "TPU v5 lite"/"TPU v5e"
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 45.0),
+)
+
+
+def device_peak_tflops(device=None) -> Optional[float]:
+    """Peak bf16 TFLOP/s of one chip, or None when unknown (e.g. CPU).
+
+    The MFU denominator: mfu = achieved_flops / sec / (peak * 1e12)."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    if "tpu" not in kind and device.platform != "tpu":
+        return None
+    for key, tflops in _PEAK_TFLOPS:
+        if key in kind:
+            return tflops
+    return None
+
+
+def mfu(flops_per_call: float, seconds_per_call: float,
+        device=None) -> Optional[float]:
+    """Model FLOPs utilization of one chip for a timed executable."""
+    peak = device_peak_tflops(device)
+    if not peak or seconds_per_call <= 0 or not flops_per_call:
+        return None
+    return flops_per_call / seconds_per_call / (peak * 1e12)
+
+
 class StepTimer:
     """Per-step timing with a separate data-loading bucket."""
 

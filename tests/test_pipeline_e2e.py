@@ -172,3 +172,29 @@ def test_bf16_pipeline_consistency():
     b = p16.generate("a man with a face", face, **kw).astype(np.int32)
     # uint8 images from random weights: require close agreement
     assert np.mean(np.abs(a - b)) < 16, np.mean(np.abs(a - b))
+
+
+def test_last_cost_analysis_and_mfu(pipeline):
+    """XLA cost analysis of the last core executable powers bench MFU."""
+    from consistentid_tpu.utils.profiling import device_peak_tflops, mfu
+
+    fresh = pipeline.last_cost_analysis  # bound after at least one generate
+    face, labels = synthetic_face_inputs()
+    pipeline.generate("a man with a face", face, parsing_labels=labels,
+                      faceid_embeds=np.zeros((1, 16), np.float32), seed=0)
+    ca = fresh()
+    assert ca is not None and float(ca.get("flops", 0)) > 0
+    # per-step flops: one CFG UNet pair call, nonzero and below the whole
+    # core graph (which additionally carries encode+decode)
+    step = pipeline.step_flops()
+    assert step and 0 < step < float(ca["flops"])
+    # CPU test platform: no peak table entry -> mfu None, never a crash
+    assert device_peak_tflops() is None
+    assert mfu(float(ca["flops"]), 0.5) is None
+    # the TPU table itself
+    class _FakeDev:
+        platform = "tpu"
+        device_kind = "TPU v5 lite"
+    assert device_peak_tflops(_FakeDev()) == 197.0
+    got = mfu(197e12 * 0.5, 1.0, _FakeDev())
+    assert abs(got - 0.5) < 1e-9
