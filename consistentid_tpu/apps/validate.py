@@ -1,0 +1,447 @@
+"""Checkpoint validation CLI: prove real weight files load correctly.
+
+The moment real pretrained files are available (this build environment has
+zero egress), one command runs every converter with per-layer sanity checks,
+builds every pipeline, generates one image each, and scores FaceSim/CLIP-T —
+the full load path of the reference's load_ConsistentID_model
+(pipline_StableDiffusion_ConsistentID.py:36-150) plus the BASELINE.md
+quality metrics.
+
+Real weights:
+    python -m consistentid_tpu.apps.validate \
+        --base /ckpt/sd15 --sdxl-base /ckpt/sdxl \
+        --consistentid ConsistentID-v1.bin --image-encoder vit_h.safetensors \
+        --bisenet face_parsing.pth --arcface w600k_r50.onnx \
+        --scrfd det_10g.onnx --face examples/face.jpg --out report.json
+
+Self-test without weights (synthesizes tiny reference-layout checkpoints
+via io.export_backbones, then validates them end-to-end):
+    python -m consistentid_tpu.apps.validate --synthesize /tmp/synth
+
+Checks per file: every converted leaf finite, no all-zero kernels, and —
+via a recording wrapper — which source keys the converter never consumed
+(unconsumed keys = layout drift, the classic silent-corruption failure).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- reporting
+
+class RecordingSD(dict):
+    """Wraps a raw state dict; records which keys a converter consumed."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+
+def layer_sanity(tree) -> Dict:
+    """Flattened-leaf report: param count, non-finite leaves, zero kernels."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(tree)
+    n_params = 0
+    nonfinite, zero_kernels = [], []
+    for path, leaf in flat.items():
+        arr = np.asarray(leaf)
+        n_params += arr.size
+        name = "/".join(map(str, path))
+        if not np.isfinite(arr.astype(np.float32)).all():
+            nonfinite.append(name)
+        # LoRA up-projections are zero-init BY DESIGN (diffusers
+        # LoRALinearLayer semantics) — never flag them
+        lora_up = len(path) >= 2 and path[-2] == "up" and \
+            any("_lora" in str(part) for part in path)
+        if path[-1] == "kernel" and arr.ndim >= 2 and not lora_up and \
+                float(np.abs(arr).max()) == 0.0:
+            zero_kernels.append(name)
+    return {"leaves": len(flat), "params": int(n_params),
+            "nonfinite": nonfinite, "zero_kernels": zero_kernels}
+
+
+def validate_file(path: str, convert_fn, ignore_unconsumed=()) -> Dict:
+    """Read a checkpoint file, run its converter under recording, sanity-check
+    the converted tree. Returns the report entry; raises on converter error."""
+    from ..io.safetensors_reader import read_checkpoint
+
+    raw = read_checkpoint(path)
+    rec = RecordingSD(raw)
+    converted = convert_fn(rec)
+    tree = converted[0] if isinstance(converted, tuple) else converted
+    entry = {"path": path, "source_keys": len(raw)}
+    unconsumed = sorted(
+        k for k in raw if k not in rec.consumed
+        and not any(m in k for m in ignore_unconsumed))
+    entry["unconsumed_source_keys"] = unconsumed
+    entry.update(layer_sanity(tree))
+    if isinstance(converted, tuple) and len(converted) > 1 and \
+            isinstance(converted[1], dict):
+        stats_report = layer_sanity(converted[1])
+        entry["nonfinite"] += stats_report["nonfinite"]
+        entry["params"] += stats_report["params"]
+    entry["ok"] = not entry["nonfinite"] and not entry["zero_kernels"] \
+        and not unconsumed
+    return entry
+
+
+# ---------------------------------------------------------------- synthesis
+
+def synthesize(outdir: str) -> Dict[str, str]:
+    """Write a complete tiny reference-layout checkpoint set (random
+    weights) so the full validation flow runs with no real files."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from safetensors.numpy import save_file
+
+    from ..io import convert
+    from ..io import export_backbones as exp
+    from ..models.arcface import IResNet
+    from ..models.bisenet import BiSeNet
+    from ..models.scrfd import SCRFD, SCRFD_VARIANTS
+    from ..testing import tiny_bundle, tiny_sdxl_bundle
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def save_st(relpath: str, sd: Dict[str, np.ndarray]):
+        p = os.path.join(outdir, relpath)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        save_file({k: np.ascontiguousarray(np.asarray(v, np.float32))
+                   for k, v in sd.items()}, p)
+
+    def save_torch(relpath: str, sd, nested: bool = False):
+        p = os.path.join(outdir, relpath)
+        conv = lambda d: {k: torch.from_numpy(np.ascontiguousarray(
+            np.asarray(v, np.float32))) for k, v in d.items()}
+        torch.save({s: conv(d) for s, d in sd.items()} if nested
+                   else conv(sd), p)
+
+    paths: Dict[str, str] = {}
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(7))
+    save_st("sd15/unet/diffusion_pytorch_model.safetensors",
+            exp.unet_to_diffusers(params["unet"], bundle.unet_config))
+    save_st("sd15/vae/diffusion_pytorch_model.safetensors",
+            exp.vae_to_diffusers(params["vae"], bundle.vae_config))
+    save_st("sd15/text_encoder/model.safetensors",
+            exp.clip_text_to_hf(params["text_encoder"], bundle.text_config))
+    paths["base"] = os.path.join(outdir, "sd15")
+
+    save_st("image_encoder.safetensors",
+            exp.clip_vision_to_hf(params["image_encoder"],
+                                  bundle.vision_config))
+    paths["image_encoder"] = os.path.join(outdir, "image_encoder.safetensors")
+
+    a = bundle.adapter_config
+    save_torch("ConsistentID-v1.bin",
+               convert.export_consistentid_checkpoint(
+                   params, bundle.unet_config,
+                   proj_depth=a.resampler_depth, facial_depth=a.facial_depth),
+               nested=True)
+    paths["consistentid"] = os.path.join(outdir, "ConsistentID-v1.bin")
+
+    xl = tiny_sdxl_bundle()
+    xl_params = xl.init_params(jax.random.PRNGKey(8))
+    save_st("sdxl/unet/diffusion_pytorch_model.safetensors",
+            exp.unet_to_diffusers(xl_params["unet"], xl.unet_config))
+    save_st("sdxl/vae/diffusion_pytorch_model.safetensors",
+            exp.vae_to_diffusers(xl_params["vae"], xl.vae_config))
+    save_st("sdxl/text_encoder/model.safetensors",
+            exp.clip_text_to_hf(xl_params["text_encoder"], xl.text_config))
+    save_st("sdxl/text_encoder_2/model.safetensors",
+            exp.clip_text_to_hf(xl_params["text_encoder_2"],
+                                xl.text_config_2))
+    paths["sdxl_base"] = os.path.join(outdir, "sdxl")
+
+    bn = BiSeNet(n_classes=19, train=True)
+    v = bn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    save_torch("face_parsing.pth",
+               exp.bisenet_to_torch(v["params"], v["batch_stats"]))
+    paths["bisenet"] = os.path.join(outdir, "face_parsing.pth")
+
+    ir = IResNet(layers=(1, 1, 1, 1), embedding_dim=a.id_embeddings_dim,
+                 input_size=32)
+    v = ir.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))
+    save_torch("arcface.pt",
+               exp.iresnet_to_torch(v["params"], v["batch_stats"],
+                                    layers=(1, 1, 1, 1), spatial=2))
+    paths["arcface"] = os.path.join(outdir, "arcface.pt")
+
+    det_cfg = SCRFD_VARIANTS["tiny"]
+    det = SCRFD(cfg=det_cfg, train=True)
+    v = det.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))
+    save_torch("scrfd.pt",
+               exp.scrfd_to_torch(v["params"], v["batch_stats"], det_cfg))
+    paths["scrfd"] = os.path.join(outdir, "scrfd.pt")
+
+    # CLIP-T projection heads into a shared space (HF CLIPModel layout:
+    # (shared, D) torch linear weights)
+    rng = np.random.RandomState(4)
+    save_st("clip_projections.safetensors", {
+        "text_projection.weight": rng.randn(
+            16, bundle.text_config.hidden_size).astype(np.float32) * 0.1,
+        "visual_projection.weight": rng.randn(
+            16, bundle.vision_config.hidden_size).astype(np.float32) * 0.1,
+    })
+    paths["clip_projections"] = os.path.join(outdir,
+                                             "clip_projections.safetensors")
+    return paths
+
+
+# ------------------------------------------------------------------- main
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", help="diffusers SD1.5 dump dir")
+    p.add_argument("--sdxl-base", help="diffusers SDXL dump dir")
+    p.add_argument("--consistentid", help="ConsistentID-v1.bin")
+    p.add_argument("--image-encoder", help="CLIP ViT-H vision checkpoint")
+    p.add_argument("--bisenet", help="face_parsing.pth")
+    p.add_argument("--arcface", help="w600k_r50.onnx / .pt")
+    p.add_argument("--scrfd", help="det_10g.onnx / .pt")
+    p.add_argument("--clip-projections",
+                   help="CLIP model file with text_projection.weight / "
+                        "visual_projection.weight (for CLIP-T)")
+    p.add_argument("--face", help="reference face image (default synthetic)")
+    p.add_argument("--prompt", default="portrait photo of a man with a "
+                                       "strong face and blue eyes")
+    p.add_argument("--out", default="validate_report.json")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--skip-generate", action="store_true",
+                   help="converter + layer checks only")
+    p.add_argument("--synthesize", metavar="DIR",
+                   help="write tiny synthetic reference-layout checkpoints "
+                        "to DIR and validate those (self-test, no real "
+                        "weights needed)")
+    p.add_argument("--tiny", action="store_true",
+                   help="validate against the tiny test-bundle configs "
+                        "(for checkpoints produced by --synthesize)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (this environment preimports "
+                        "jax with the TPU platform, so env vars alone don't "
+                        "stick); default for --synthesize")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cpu or args.synthesize:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    tiny = bool(args.synthesize) or args.tiny
+    if args.synthesize:
+        print(f"synthesizing tiny reference-layout checkpoints in "
+              f"{args.synthesize} ...")
+        paths = synthesize(args.synthesize)
+        for k, v in paths.items():
+            if getattr(args, k.replace("-", "_"), None) is None:
+                setattr(args, k.replace("-", "_"), v)
+
+    from ..io import convert
+    from ..io.convert_backbones import (clip_text_from_hf,
+                                        clip_vision_from_hf,
+                                        unet_from_diffusers,
+                                        vae_from_diffusers)
+    from ..testing import tiny_bundle, tiny_sdxl_bundle
+
+    bundle = tiny_bundle() if tiny else None
+    xl_bundle = tiny_sdxl_bundle() if tiny else None
+    if not tiny:
+        from ..core.config import sd15_unet_config
+        from ..pipelines import SD15Bundle
+        bundle = SD15Bundle(unet_config=sd15_unet_config(
+            lora_rank=128, ip_num_tokens=4))
+
+    report: Dict = {"files": {}, "pipelines": {}, "metrics": {}}
+
+    def stage(name, path, fn, ignore=()):
+        if not path:
+            return
+        try:
+            entry = validate_file(path, fn, ignore_unconsumed=ignore)
+        except Exception as e:  # converter blew up: that IS the finding
+            entry = {"path": path, "ok": False,
+                     "error": f"{type(e).__name__}: {e}"}
+        report["files"][name] = entry
+        status = "ok" if entry["ok"] else "FAIL"
+        print(f"  [{status}] {name}: {entry.get('params', 0):,} params, "
+              f"{len(entry.get('unconsumed_source_keys', []))} unconsumed, "
+              f"{len(entry.get('nonfinite', []))} non-finite "
+              f"{entry.get('error', '')}")
+
+    print("stage 1: converters + per-layer sanity")
+    ignore_bn = ("num_batches_tracked",)
+    if args.base:
+        stage("unet", os.path.join(args.base, "unet"),
+              lambda sd: unet_from_diffusers(sd, bundle.unet_config))
+        stage("vae", os.path.join(args.base, "vae"),
+              lambda sd: vae_from_diffusers(sd, bundle.vae_config))
+        stage("text_encoder", os.path.join(args.base, "text_encoder"),
+              lambda sd: clip_text_from_hf(sd, bundle.text_config),
+              ignore=("position_ids",))
+    if args.sdxl_base:
+        if xl_bundle is None:
+            from ..core.config import VAEConfig, sdxl_unet_config
+            from ..pipelines.consistentid_sdxl import (SDXLBundle,
+                                                       sdxl_adapter_config)
+            xl_bundle = SDXLBundle(
+                unet_config=sdxl_unet_config(lora_rank=128, ip_num_tokens=4),
+                adapter_config=sdxl_adapter_config(),
+                vae_config=VAEConfig(scaling_factor=0.13025,
+                                     force_upcast=True))
+        stage("sdxl_unet", os.path.join(args.sdxl_base, "unet"),
+              lambda sd: unet_from_diffusers(sd, xl_bundle.unet_config))
+        stage("sdxl_vae", os.path.join(args.sdxl_base, "vae"),
+              lambda sd: vae_from_diffusers(sd, xl_bundle.vae_config))
+        stage("sdxl_text_encoder",
+              os.path.join(args.sdxl_base, "text_encoder"),
+              lambda sd: clip_text_from_hf(sd, xl_bundle.text_config),
+              ignore=("position_ids",))
+        stage("sdxl_text_encoder_2",
+              os.path.join(args.sdxl_base, "text_encoder_2"),
+              lambda sd: clip_text_from_hf(sd, xl_bundle.text_config_2),
+              ignore=("position_ids", "text_projection"))
+    stage("image_encoder", args.image_encoder,
+          lambda sd: clip_vision_from_hf(sd, bundle.vision_config),
+          ignore=("position_ids",))
+    if args.consistentid:
+        def cid(sd):
+            import jax
+            p = bundle.init_params(jax.random.PRNGKey(0))
+            return convert.load_consistentid_checkpoint(
+                p, dict(sd), bundle.unet_config)
+        # section-level recording only (nested dict); skip unconsumed check
+        stage("consistentid", args.consistentid, cid,
+              ignore=("image_proj", "adapter_modules", "FacialEncoder"))
+    stage("bisenet", args.bisenet, convert.bisenet_from_torch,
+          ignore=ignore_bn)
+    stage("arcface", args.arcface, convert.iresnet_from_torch,
+          ignore=ignore_bn)
+    stage("scrfd", args.scrfd, lambda sd: convert.scrfd_from_torch(sd)[:2],
+          ignore=ignore_bn)
+
+    files_ok = all(e.get("ok") for e in report["files"].values())
+
+    if not args.skip_generate and args.base:
+        print("stage 2: pipeline assembly + one image each")
+        from PIL import Image
+
+        from ..core.config import PipelineConfig
+        from ..pipelines.loading import (load_sd15_consistentid,
+                                         load_sdxl_consistentid)
+
+        h = args.height or (64 if tiny else 512)
+        w = args.width or (64 if tiny else 512)
+        steps = args.steps or (3 if tiny else 50)
+        merge = 1 if tiny else 30
+        cfg = PipelineConfig(height=h, width=w, num_inference_steps=steps,
+                             start_merge_step=merge)
+        if args.face:
+            face = Image.open(args.face).convert("RGB")
+        else:
+            face = Image.fromarray(np.random.RandomState(0).randint(
+                0, 255, (128, 128, 3), np.uint8))
+
+        pipe = load_sd15_consistentid(
+            args.base, consistentid_path=args.consistentid,
+            image_encoder_path=args.image_encoder,
+            bisenet_path=args.bisenet, arcface_path=args.arcface,
+            scrfd_path=args.scrfd, pipeline_config=cfg,
+            bundle=tiny_bundle() if tiny else None)
+
+        def record(name, fn):
+            try:
+                img = fn()
+                arr = np.asarray(img)
+                report["pipelines"][name] = {
+                    "ok": bool(np.isfinite(arr.astype(np.float32)).all()
+                               and arr.std() > 0),
+                    "shape": list(arr.shape)}
+                print(f"  [ok] {name}: {arr.shape}")
+                return img
+            except Exception as e:
+                report["pipelines"][name] = {
+                    "ok": False, "error": f"{type(e).__name__}: {e}"}
+                print(f"  [FAIL] {name}: {e}")
+                return None
+
+        out = record("sd15", lambda: pipe.generate(
+            args.prompt, face, seed=1)[0])
+
+        if out is not None:
+            from ..pipelines import ConsistentIDInpaintPipeline
+            mask = Image.new("L", (w, h), 0)
+            mask.paste(255, (w // 4, h // 4, 3 * w // 4, 3 * h // 4))
+            init = Image.fromarray(out)
+            inpipe = ConsistentIDInpaintPipeline(
+                pipe.bundle, pipe.params, pipe.tokenizer,
+                pipeline_config=cfg, face_parser=pipe.face_parser,
+                face_embedder=pipe.face_embedder)
+            record("inpaint", lambda: inpipe.generate(
+                args.prompt, face, init, mask, strength=0.8, seed=2)[0])
+
+        if args.sdxl_base:
+            xl_pipe = load_sdxl_consistentid(
+                args.sdxl_base, image_encoder_path=args.image_encoder,
+                bisenet_path=args.bisenet, arcface_path=args.arcface,
+                scrfd_path=args.scrfd, pipeline_config=cfg,
+                bundle=tiny_sdxl_bundle() if tiny else None)
+            record("sdxl", lambda: xl_pipe.generate(
+                args.prompt, face, seed=3)[0])
+
+        print("stage 3: quality metrics")
+        if out is not None and pipe.face_embedder is not None:
+            from ..eval.metrics import FaceSimScorer
+            try:
+                sim = FaceSimScorer(pipe.face_embedder)(
+                    face, Image.fromarray(out))
+                report["metrics"]["face_sim"] = float(sim)
+                print(f"  face_sim: {sim:.4f}")
+            except Exception as e:
+                report["metrics"]["face_sim_error"] = str(e)
+        if out is not None and args.clip_projections:
+            from ..eval.metrics import CLIPTScorer
+            from ..io.safetensors_reader import read_checkpoint
+            try:
+                proj = read_checkpoint(args.clip_projections)
+                scorer = CLIPTScorer(
+                    pipe.bundle, pipe.params, pipe.tokenizer,
+                    text_projection=proj["text_projection.weight"].T,
+                    visual_projection=proj["visual_projection.weight"].T)
+                score = scorer(args.prompt, Image.fromarray(out))
+                report["metrics"]["clip_t"] = float(score)
+                print(f"  clip_t: {score:.4f}")
+            except Exception as e:
+                report["metrics"]["clip_t_error"] = str(e)
+
+    pipes_ok = all(e.get("ok") for e in report["pipelines"].values())
+    report["ok"] = bool(files_ok and pipes_ok)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"report: {args.out}  ok={report['ok']}")
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

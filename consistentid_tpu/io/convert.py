@@ -79,7 +79,18 @@ def feedforward(sd, p: str):
     }
 
 
-def face_perceiver_resampler(sd, p: str = "", depth: int = 4):
+def _count_perceiver_layers(sd, p: str) -> int:
+    """Infer a resampler/AttentionMLP stack's depth from its key names, so
+    any checkpoint variant loads without a depth table."""
+    n = 0
+    while _join(p, f"layers.{n}.0.norm1.weight") in sd:
+        n += 1
+    return n
+
+
+def face_perceiver_resampler(sd, p: str = "", depth: int = None):
+    if depth is None:
+        depth = _count_perceiver_layers(sd, p)
     out = {
         "proj_in": linear(sd, _join(p, "proj_in")),
         "proj_out": linear(sd, _join(p, "proj_out")),
@@ -91,7 +102,7 @@ def face_perceiver_resampler(sd, p: str = "", depth: int = 4):
     return out
 
 
-def proj_plus_model(sd, p: str = "", depth: int = 4):
+def proj_plus_model(sd, p: str = "", depth: int = None):
     return {
         "proj_0": linear(sd, _join(p, "proj.0")),
         "proj_2": linear(sd, _join(p, "proj.2")),
@@ -101,7 +112,9 @@ def proj_plus_model(sd, p: str = "", depth: int = 4):
     }
 
 
-def attention_mlp(sd, p: str = "", depth: int = 8):
+def attention_mlp(sd, p: str = "", depth: int = None):
+    if depth is None:
+        depth = _count_perceiver_layers(sd, p)
     out = {
         "latents": sd[_join(p, "latents")],
         "proj_in": linear(sd, _join(p, "proj_in")),
@@ -130,7 +143,7 @@ def fuse_module(sd, p: str = ""):
     }
 
 
-def facial_encoder(sd, p: str = "", depth: int = 8):
+def facial_encoder(sd, p: str = "", depth: int = None):
     return {
         "visual_projection": attention_mlp(sd, _join(p, "visual_projection"), depth),
         "fuse_module": fuse_module(sd, _join(p, "fuse_module")),

@@ -252,7 +252,9 @@ class ConsistentIDPipeline:
             if self.face_embedder is not None:
                 faceid_embeds = self.face_embedder(face_image)
             else:  # no detector: zero fallback (reference :220-221)
-                faceid_embeds = np.zeros((1, 512), np.float32)
+                faceid_embeds = np.zeros(
+                    (1, self.bundle.adapter_config.id_embeddings_dim),
+                    np.float32)
         face_caption = face_caption or FACE_CAPTION_TEMPLATE
 
         region_masks = select_key_regions(

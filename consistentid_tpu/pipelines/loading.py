@@ -41,6 +41,19 @@ def _subcheckpoint(base_dir: str, sub: str) -> Dict[str, np.ndarray]:
     return read_checkpoint(path)
 
 
+def _deep_update(dst: Dict, src: Dict) -> Dict:
+    """Recursive merge: the diffusers UNet converter emits only base params,
+    while the init tree carries adapter (LoRA/IP) leaves nested under the
+    SAME top-level module keys — a flat dict.update would clobber them
+    (caught by apps.validate's synthetic self-test)."""
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+    return dst
+
+
 def _read_maybe_onnx(path: str) -> Dict[str, np.ndarray]:
     if path.endswith(".onnx"):
         from ..io.onnx_reader import read_onnx_initializers
@@ -122,7 +135,7 @@ def load_sd15_consistentid(
     )
     params = bundle.init_params(jax.random.PRNGKey(0))
 
-    params["unet"].update(unet_from_diffusers(
+    _deep_update(params["unet"], unet_from_diffusers(
         _subcheckpoint(base_dir, "unet"), bundle.unet_config))
     params["unet"] = warm_start_ip_projections(params["unet"])
     params["vae"] = vae_from_diffusers(
@@ -200,7 +213,7 @@ def load_sdxl_consistentid(
         dtype=dtype,
     )
     params = bundle.init_params(jax.random.PRNGKey(0))
-    params["unet"].update(unet_from_diffusers(
+    _deep_update(params["unet"], unet_from_diffusers(
         _subcheckpoint(base_dir, "unet"), bundle.unet_config))
     params["unet"] = warm_start_ip_projections(params["unet"])
     params["vae"] = vae_from_diffusers(
