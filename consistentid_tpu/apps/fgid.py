@@ -62,6 +62,50 @@ def _update_json(out_dir: str, image_path: str, fields: dict):
         json.dump(data, f)
 
 
+def _decoded_batches(paths: List[str], height: int, width: int,
+                     batch_size: int, mean, std, center_crop: bool = False,
+                     threads: int = 4):
+    """Yield (path_chunk, (B,H,W,3) fp32 normalized, ok flags): the C++
+    worker pool (native/fgid_loader.cpp) decodes/resizes/normalizes off the
+    Python thread with in-order delivery — the torch-DataLoader-worker
+    analogue of the reference's per-image PIL loops (data/FGID_mask.py:146).
+    Falls back to PIL when the native lib is unavailable."""
+    from ..io.native_loader import NativeImageLoader, get_lib
+
+    if get_lib() is not None:
+        loader = NativeImageLoader(paths, height, width, batch_size,
+                                   threads=threads, mean=mean, std=std,
+                                   center_crop=center_crop)
+        try:
+            for b in loader:
+                yield (paths[b.start:b.start + batch_size], b.images, b.ok)
+        finally:
+            loader.close()
+        return
+
+    from PIL import Image
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start:start + batch_size]
+        batch = np.zeros((batch_size, height, width, 3), np.float32)
+        ok = np.zeros((batch_size,), bool)
+        for i, p in enumerate(chunk):
+            try:
+                im = Image.open(p).convert("RGB")
+            except Exception:
+                continue
+            if center_crop:
+                w, h = im.size
+                side = min(w, h)
+                im = im.crop(((w - side) // 2, (h - side) // 2,
+                              (w + side) // 2, (h + side) // 2))
+            im = im.resize((width, height), Image.BILINEAR)
+            batch[i] = (np.asarray(im, np.float32) / 255.0 - mean_a) / std_a
+            ok[i] = True
+        yield chunk, batch, ok
+
+
 def run_mask(images_dir: str, out_dir: str, bisenet_path: str,
              batch_size: int = 8, size: int = 512):
     """Batched BiSeNet parsing over the image tree."""
@@ -72,7 +116,6 @@ def run_mask(images_dir: str, out_dir: str, bisenet_path: str,
     from ..io import convert
     from ..io.safetensors_reader import read_checkpoint
     from ..models.bisenet import BiSeNet
-    from ..utils.image import imagenet_preprocess
 
     params, stats = convert.bisenet_from_torch(read_checkpoint(bisenet_path))
     model = BiSeNet()
@@ -87,32 +130,39 @@ def run_mask(images_dir: str, out_dir: str, bisenet_path: str,
     for d in ("resize", "mask", "color", "json"):
         os.makedirs(os.path.join(out_dir, d), exist_ok=True)
 
-    for start in range(0, len(paths), batch_size):
-        chunk = paths[start:start + batch_size]
-        pil_images = [Image.open(p).convert("RGB").resize(
-            (size, size), Image.BILINEAR) for p in chunk]
-        batch = np.concatenate(
-            [imagenet_preprocess(im, size) for im in pil_images])
-        # pad the tail so the jitted graph sees one static batch shape
-        pad = batch_size - len(chunk)
-        if pad:
-            batch = np.concatenate(
-                [batch, np.zeros((pad, size, size, 3), np.float32)])
+    from ..utils.image import IMAGENET_MEAN, IMAGENET_STD
+
+    def save_outputs(p, rgb_uint8, lab):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        Image.fromarray(rgb_uint8).save(
+            os.path.join(out_dir, "resize", f"{stem}.png"))
+        Image.fromarray(lab).save(
+            os.path.join(out_dir, "mask", f"{stem}.png"))
+        color = PART_COLORS[np.clip(lab, 0, len(PART_COLORS) - 1)]
+        overlay = (0.4 * rgb_uint8 + 0.6 * color).astype(np.uint8)
+        Image.fromarray(overlay).save(
+            os.path.join(out_dir, "color", f"{stem}.png"))
+        _update_json(out_dir, p, {
+            "image_path": os.path.join("resize", f"{stem}.png"),
+            "parsing_mask_path": os.path.join("mask", f"{stem}.png"),
+        })
+
+    n_done = n_failed = 0
+    for chunk, batch, ok in _decoded_batches(
+            paths, size, size, batch_size,
+            mean=tuple(np.asarray(IMAGENET_MEAN).reshape(-1)),
+            std=tuple(np.asarray(IMAGENET_STD).reshape(-1))):
         labels = np.asarray(parse_batch(jnp.asarray(batch)))[:len(chunk)]
-        for p, im, lab in zip(chunk, pil_images, labels):
-            stem = os.path.splitext(os.path.basename(p))[0]
-            im.save(os.path.join(out_dir, "resize", f"{stem}.png"))
-            Image.fromarray(lab).save(
-                os.path.join(out_dir, "mask", f"{stem}.png"))
-            color = PART_COLORS[np.clip(lab, 0, len(PART_COLORS) - 1)]
-            overlay = (0.4 * np.asarray(im) + 0.6 * color).astype(np.uint8)
-            Image.fromarray(overlay).save(
-                os.path.join(out_dir, "color", f"{stem}.png"))
-            _update_json(out_dir, p, {
-                "image_path": os.path.join("resize", f"{stem}.png"),
-                "parsing_mask_path": os.path.join("mask", f"{stem}.png"),
-            })
-    print(f"parsed {len(paths)} images")
+        for i, (p, lab) in enumerate(zip(chunk, labels)):
+            if not ok[i]:
+                n_failed += 1
+                continue
+            rgb = np.clip((batch[i] * IMAGENET_STD + IMAGENET_MEAN) * 255.0,
+                          0, 255).astype(np.uint8)
+            save_outputs(p, rgb, lab)
+            n_done += 1
+    print(f"parsed {n_done} images" +
+          (f" ({n_failed} failed decodes skipped)" if n_failed else ""))
 
 
 def run_caption(images_dir: str, out_dir: str,
@@ -136,11 +186,11 @@ def run_faceid(images_dir: str, out_dir: str, arcface_path: str,
     """Batched ArcFace embeddings -> .bin files + JSON fields."""
     import jax
     import jax.numpy as jnp
-    from PIL import Image
 
     from ..io import convert
     from ..io.safetensors_reader import read_checkpoint
-    from ..models.arcface import IResNet, normalized_embedding
+    from ..models.arcface import (IResNet, iresnet_arch_from_params,
+                                  normalized_embedding)
 
     if arcface_path.endswith(".onnx"):
         from ..io.onnx_reader import read_onnx_initializers
@@ -148,7 +198,8 @@ def run_faceid(images_dir: str, out_dir: str, arcface_path: str,
     else:
         sd = read_checkpoint(arcface_path)
     params, stats = convert.iresnet_from_torch(sd)
-    model = IResNet()
+    layers, emb_dim, in_size = iresnet_arch_from_params(params)
+    model = IResNet(layers=layers, embedding_dim=emb_dim, input_size=in_size)
     variables = {"params": params, "batch_stats": stats}
 
     @jax.jit
@@ -157,30 +208,25 @@ def run_faceid(images_dir: str, out_dir: str, arcface_path: str,
 
     os.makedirs(os.path.join(out_dir, "faceid"), exist_ok=True)
     paths = _image_paths(images_dir)
-    for start in range(0, len(paths), batch_size):
-        chunk = paths[start:start + batch_size]
-        imgs = []
-        for p in chunk:
-            im = Image.open(p).convert("RGB")
-            w, h = im.size
-            side = min(w, h)
-            im = im.crop(((w - side) // 2, (h - side) // 2,
-                          (w + side) // 2, (h + side) // 2))
-            im = im.resize((112, 112), Image.BILINEAR)
-            imgs.append(np.asarray(im, np.float32) / 127.5 - 1.0)
-        batch = np.stack(imgs)
-        pad = batch_size - len(chunk)
-        if pad:
-            batch = np.concatenate(
-                [batch, np.zeros((pad, 112, 112, 3), np.float32)])
+    n_done = n_failed = 0
+    # x/127.5 - 1 == (x/255 - 0.5)/0.5; center-crop-to-square like the
+    # reference's pre-aligned FGID assumption
+    for chunk, batch, ok in _decoded_batches(
+            paths, in_size, in_size, batch_size,
+            mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), center_crop=True):
         embeds = np.asarray(embed_batch(jnp.asarray(batch)))[:len(chunk)]
-        for p, e in zip(chunk, embeds):
+        for i, (p, e) in enumerate(zip(chunk, embeds)):
+            if not ok[i]:
+                n_failed += 1
+                continue
             stem = os.path.splitext(os.path.basename(p))[0]
             bin_path = os.path.join(out_dir, "faceid", f"{stem}.bin")
             e.astype(np.float32).tofile(bin_path)
             _update_json(out_dir, p, {
                 "faceid_path": os.path.join("faceid", f"{stem}.bin")})
-    print(f"embedded {len(paths)} images")
+            n_done += 1
+    print(f"embedded {n_done} images" +
+          (f" ({n_failed} failed decodes skipped)" if n_failed else ""))
 
 
 def run_fuse(out_dir: str):

@@ -55,7 +55,8 @@ def get_lib():
     lib.fgid_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int]
     lib.fgid_loader_next.restype = ctypes.c_int
     lib.fgid_loader_next.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_float),
@@ -66,7 +67,7 @@ def get_lib():
     lib.fgid_decode_resize.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float)]
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
     _lib = lib
     HAS_NATIVE = True
     return _lib
@@ -77,8 +78,9 @@ def _fvec3(v) -> ctypes.Array:
 
 
 def decode_resize_normalize(path: str, height: int, width: int,
-                            mean=(0.0, 0.0, 0.0),
-                            std=(1.0, 1.0, 1.0)) -> Optional[np.ndarray]:
+                            mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
+                            center_crop: bool = False
+                            ) -> Optional[np.ndarray]:
     """JPEG/PNG -> (H, W, 3) fp32 normalized; None on decode failure."""
     lib = get_lib()
     if lib is None:
@@ -86,6 +88,7 @@ def decode_resize_normalize(path: str, height: int, width: int,
     out = np.empty((height, width, 3), np.float32)
     rc = lib.fgid_decode_resize(
         path.encode(), height, width, _fvec3(mean), _fvec3(std),
+        int(center_crop),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out if rc == 0 else None
 
@@ -111,7 +114,8 @@ class NativeImageLoader:
 
     def __init__(self, paths: List[str], height: int, width: int,
                  batch: int, threads: int = 4,
-                 mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0)):
+                 mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
+                 center_crop: bool = False):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native loader unavailable")
@@ -121,7 +125,7 @@ class NativeImageLoader:
             *[p.encode() for p in paths])
         self._handle = lib.fgid_loader_create(
             c_paths, len(paths), height, width, batch, threads,
-            _fvec3(mean), _fvec3(std))
+            _fvec3(mean), _fvec3(std), int(center_crop))
         self._exhausted = False
 
     def __iter__(self):

@@ -138,30 +138,42 @@ bool decode_file(const char* path, Image* out) {
   return decode_png(buf.data(), buf.size(), out);
 }
 
-// bilinear resize + normalize (half-pixel centers) HWC u8 -> HWC f32
+// bilinear resize + normalize (half-pixel centers) HWC u8 -> HWC f32;
+// center_crop: sample from the centered square region (ArcFace-style
+// pre-alignment crop) instead of the full frame
 void resize_normalize(const Image& img, int out_h, int out_w,
-                      const float* mean, const float* std_, float* out) {
-  const float sy = float(img.h) / out_h;
-  const float sx = float(img.w) / out_w;
+                      const float* mean, const float* std_, int center_crop,
+                      float* out) {
+  int src_h = img.h, src_w = img.w, off_y = 0, off_x = 0;
+  if (center_crop) {
+    int side = img.h < img.w ? img.h : img.w;
+    off_y = (img.h - side) / 2;
+    off_x = (img.w - side) / 2;
+    src_h = src_w = side;
+  }
+  const float sy = float(src_h) / out_h;
+  const float sx = float(src_w) / out_w;
   for (int oy = 0; oy < out_h; ++oy) {
     float fy = (oy + 0.5f) * sy - 0.5f;
     int y0 = fy < 0 ? 0 : int(fy);
-    if (y0 > img.h - 1) y0 = img.h - 1;
-    int y1 = y0 + 1 < img.h ? y0 + 1 : img.h - 1;
+    if (y0 > src_h - 1) y0 = src_h - 1;
+    int y1 = y0 + 1 < src_h ? y0 + 1 : src_h - 1;
     float wy = fy - y0;
     if (wy < 0) wy = 0;
     for (int ox = 0; ox < out_w; ++ox) {
       float fx = (ox + 0.5f) * sx - 0.5f;
       int x0 = fx < 0 ? 0 : int(fx);
-      if (x0 > img.w - 1) x0 = img.w - 1;
-      int x1 = x0 + 1 < img.w ? x0 + 1 : img.w - 1;
+      if (x0 > src_w - 1) x0 = src_w - 1;
+      int x1 = x0 + 1 < src_w ? x0 + 1 : src_w - 1;
       float wx = fx - x0;
       if (wx < 0) wx = 0;
+      const size_t r0 = size_t(off_y + y0) * img.w + off_x;
+      const size_t r1 = size_t(off_y + y1) * img.w + off_x;
       for (int c = 0; c < 3; ++c) {
-        float tl = img.rgb[(size_t(y0) * img.w + x0) * 3 + c];
-        float tr = img.rgb[(size_t(y0) * img.w + x1) * 3 + c];
-        float bl = img.rgb[(size_t(y1) * img.w + x0) * 3 + c];
-        float br = img.rgb[(size_t(y1) * img.w + x1) * 3 + c];
+        float tl = img.rgb[(r0 + x0) * 3 + c];
+        float tr = img.rgb[(r0 + x1) * 3 + c];
+        float bl = img.rgb[(r1 + x0) * 3 + c];
+        float br = img.rgb[(r1 + x1) * 3 + c];
         float top = tl + (tr - tl) * wx;
         float bot = bl + (br - bl) * wx;
         float v = (top + (bot - top) * wy) / 255.0f;
@@ -179,7 +191,7 @@ struct Batch {
 
 struct Loader {
   std::vector<std::string> paths;
-  int out_h, out_w, batch, threads;
+  int out_h, out_w, batch, threads, center_crop = 0;
   float mean[3], std_[3];
 
   std::vector<std::thread> workers;
@@ -211,7 +223,7 @@ struct Loader {
       for (int i = 0; i < batch && start + i < paths.size(); ++i) {
         Image img;
         if (decode_file(paths[start + i].c_str(), &img) && img.h && img.w) {
-          resize_normalize(img, out_h, out_w, mean, std_,
+          resize_normalize(img, out_h, out_w, mean, std_, center_crop,
                            b.buf.data() + size_t(i) * out_h * out_w * 3);
           b.ok[i] = 1;
         }
@@ -238,12 +250,14 @@ extern "C" {
 
 void* fgid_loader_create(const char** paths, int n_paths, int out_h,
                          int out_w, int batch, int threads,
-                         const float* mean, const float* std_) {
+                         const float* mean, const float* std_,
+                         int center_crop) {
   auto* l = new Loader();
   l->paths.assign(paths, paths + n_paths);
   l->out_h = out_h;
   l->out_w = out_w;
   l->batch = batch;
+  l->center_crop = center_crop;
   l->threads = threads > 0 ? threads : 4;
   std::memcpy(l->mean, mean, 3 * sizeof(float));
   std::memcpy(l->std_, std_, 3 * sizeof(float));
@@ -296,10 +310,11 @@ void fgid_loader_destroy(void* handle) {
 
 // single-image decode helper (data-production paths)
 int fgid_decode_resize(const char* path, int out_h, int out_w,
-                       const float* mean, const float* std_, float* out) {
+                       const float* mean, const float* std_, int center_crop,
+                       float* out) {
   Image img;
   if (!decode_file(path, &img) || !img.h || !img.w) return -1;
-  resize_normalize(img, out_h, out_w, mean, std_, out);
+  resize_normalize(img, out_h, out_w, mean, std_, center_crop, out);
   return 0;
 }
 

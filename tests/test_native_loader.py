@@ -82,3 +82,23 @@ def test_loader_order_and_pairing_under_contention(image_dir, tmp_path):
     expected_ok = [i != 7 for i in range(25)]
     assert oks == expected_ok
     loader.close()
+
+
+def test_center_crop_matches_pil(image_dir):
+    """center_crop=True samples the centered square (ArcFace-style crop)."""
+    cv2 = pytest.importorskip("cv2")
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    for path in image_dir:
+        out = decode_resize_normalize(path, 16, 16, center_crop=True)
+        assert out is not None
+        im = Image.open(path).convert("RGB")
+        w, h = im.size
+        side = min(w, h)
+        crop = np.asarray(im)[(h - side) // 2:(h - side) // 2 + side,
+                              (w - side) // 2:(w - side) // 2 + side]
+        ref = cv2.resize(crop, (16, 16),
+                         interpolation=cv2.INTER_LINEAR).astype(
+                             np.float32) / 255.0
+        tol = 0.02 if path.endswith(".jpg") else 0.005
+        assert np.abs(out - ref).mean() < tol, path

@@ -61,3 +61,41 @@ def test_loader_preserves_adapter_params(synth_dir):
     ip = [k for k in flat if "to_k_ip" in k or "to_v_ip" in k]
     assert ip and all(np.isfinite(np.asarray(flat[k], np.float32)).all()
                       for k in ip)
+
+
+def test_fgid_pipeline_end_to_end(synth_dir, tmp_path):
+    """mask -> caption -> faceid -> fuse over a tiny image tree using the
+    synthesized weights; exercises the native batched decode path
+    (in-order delivery + ok flags) end to end."""
+    from PIL import Image
+
+    from consistentid_tpu.apps.fgid import (run_caption, run_faceid,
+                                            run_fuse, run_mask)
+
+    images = tmp_path / "images"
+    images.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (80, 64, 3), np.uint8)).save(
+            images / f"p{i}.jpg")
+    (images / "bad.jpg").write_bytes(b"corrupt")
+    out = str(tmp_path / "fgid_out")
+
+    run_mask(str(images), out, os.path.join(synth_dir, "face_parsing.pth"),
+             batch_size=2, size=64)
+    run_caption(str(images), out)
+    run_faceid(str(images), out, os.path.join(synth_dir, "arcface.pt"),
+               batch_size=2)
+    run_fuse(out)
+
+    manifest = json.load(open(os.path.join(out, "JSON_all.json")))
+    # the corrupt image is skipped by both decode stages (no image/faceid
+    # fields), and decode failures never mispair neighbors
+    entries = manifest.values() if isinstance(manifest, dict) else manifest
+    good = [e for e in entries if "faceid_path" in e and "image_path" in e]
+    assert len(good) == 3
+    for e in good:
+        emb = np.fromfile(os.path.join(out, e["faceid_path"]), np.float32)
+        assert emb.size == 16 and np.isfinite(emb).all()
+        assert os.path.exists(os.path.join(out, e["image_path"]))
+        assert os.path.exists(os.path.join(out, e["parsing_mask_path"]))
