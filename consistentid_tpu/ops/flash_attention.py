@@ -16,6 +16,12 @@ Layout notes (TPU):
     (worst case 4096 x 256 x 2B x 2 = 4 MB, fits the ~16 MB budget).
   - softmax statistics are fp32; the q @ k and p @ v matmuls accumulate fp32
     on the MXU via preferred_element_type.
+  - the fp32 casts before the dots are deliberate (measured): with d=40/80
+    these matmuls are narrow, so the kernel is VPU/exp-bound, not MXU-bound.
+    Switching the MXU inputs to bf16 (and casting p back to bf16 for p @ v)
+    was A/B-tested e2e on v5e and came out ~2% SLOWER (57.2 -> 55.8
+    img/min/chip): the extra (block_q, block_k)-sized p cast on the VPU
+    costs more than the fp32->bf16 MXU pass savings at these shapes.
 """
 from __future__ import annotations
 
