@@ -31,6 +31,10 @@ def main():
     p.add_argument("--train", action="store_true",
                    help="full-size SD1.5 adapter training step time/MFU "
                         "(512px, the reference's per-GPU batch 2)")
+    p.add_argument("--remat", choices=["full", "dots", "none"],
+                   default="dots",
+                   help="--train UNet rematerialization: full-block, "
+                        "MXU-outputs-saved, or none")
     args = p.parse_args()
 
     if args.sdxl:
@@ -152,7 +156,8 @@ def bench_train(args):
     bundle = SD15Bundle(
         unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
         adapter_config=AdapterConfig(),
-        dtype=jnp.bfloat16, remat=True)
+        dtype=jnp.bfloat16, remat=args.remat != "none",
+        remat_policy="dots" if args.remat == "dots" else "full")
     params = bundle.fast_random_params(jax.random.PRNGKey(0))
     params["unet"] = warm_start_ip_projections(params["unet"])
 
@@ -177,7 +182,7 @@ def bench_train(args):
 
     rec = {
         "metric": f"SD1.5 {args.height}px adapter train step "
-                  f"(batch {batch_size}/chip)",
+                  f"(batch {batch_size}/chip, remat={args.remat})",
         "value": round(dt, 4),
         "unit": "s/step",
         "vs_baseline": round(0.5 / max(dt, 1e-9), 3),  # 0.5 s/step heuristic

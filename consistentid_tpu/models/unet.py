@@ -45,6 +45,10 @@ class UNet(nn.Module):
     # Blocks whose attn probs are captured are never remated (sow would be
     # discarded by the checkpoint).
     remat: bool = False
+    # "full" recomputes everything in the block (min memory); "dots" saves
+    # MXU (matmul/conv) outputs and recomputes only elementwise chains —
+    # usually the TPU speed/memory sweet spot for training.
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(
@@ -87,8 +91,14 @@ class UNet(nn.Module):
         ctx = encoder_hidden_states.astype(self.dtype)
         sample = sample.astype(self.dtype)
 
+        remat_kw = {}
+        if self.remat_policy == "dots":
+            remat_kw["policy"] = \
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+
         def res_block(out_ch: int, name: str):
-            cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+            cls = (nn.remat(ResnetBlock, **remat_kw) if self.remat
+                   else ResnetBlock)
             return cls(out_ch, groups=cfg.norm_num_groups, dtype=self.dtype,
                        name=name)
 
@@ -98,7 +108,8 @@ class UNet(nn.Module):
             if self.remat and block_name not in capture_layers:
                 # __call__(self, x, context, lora_scale, ip_scale,
                 #          capture_probs): scales + flag are static
-                cls = nn.remat(Transformer2D, static_argnums=(3, 4, 5))
+                cls = nn.remat(Transformer2D, static_argnums=(3, 4, 5),
+                               **remat_kw)
             return cls(
                 heads=cfg.num_attention_heads[level],
                 context_dim=cfg.cross_attention_dim,

@@ -44,6 +44,21 @@ from ..utils.image import center_crop_mask, clip_preprocess, postprocess_to_uint
 
 FACE_CAPTION_TEMPLATE = (
     "The person has one face, one nose, two eyes, two ears, and one mouth.")
+
+# conditioning fields no jitted inference graph reads; kept host-side.
+# (Uploading the (1, 5, 512, 512) fp32 region masks through a remote-TPU
+# tunnel measured ~110 ms/call of pure waste; they exist for training's
+# localization loss and for callers that want them, not for generate().)
+DEVICE_COND_EXCLUDE = ("region_masks",)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _to_uint8_device(images: jax.Array) -> jax.Array:
+    """[-1,1] float -> uint8 ON DEVICE, so the host fetch moves 1/4 the
+    bytes (fp32 -> uint8) through the TPU tunnel. Semantics identical to
+    utils.image.postprocess_to_uint8 (clip, *255, round-half-even)."""
+    x = jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+    return jnp.round(x * 255).astype(jnp.uint8)
 KEY_REGIONS = ("Face", "Left_Ear", "Right_Ear", "Left_Eye", "Right_Eye",
                "Nose", "Upper_Lip", "Lower_Lip")
 MAX_CAPTION_CHARS = 330
@@ -76,10 +91,11 @@ class SD15Bundle:
     vision_config: CLIPVisionConfig = field(default_factory=CLIPVisionConfig)
     dtype: Any = jnp.float32
     remat: bool = False   # rematerialize UNet blocks (training memory)
+    remat_policy: str = "full"  # "full" | "dots" (save MXU outputs)
 
     def __post_init__(self):
         self.unet = UNet(self.unet_config, dtype=self.dtype,
-                         remat=self.remat)
+                         remat=self.remat, remat_policy=self.remat_policy)
         self.vae = AutoencoderKL(self.vae_config, dtype=self.dtype)
         self.text_encoder = CLIPTextEncoder(self.text_config, dtype=self.dtype)
         self.image_encoder = CLIPVisionEncoder(self.vision_config,
@@ -382,11 +398,21 @@ class ConsistentIDPipeline:
         return images
 
 
+    def _device_cond(self, cond: Dict[str, np.ndarray]) -> Dict:
+        """Host cond -> device arrays, excluding fields the graphs never
+        read (DEVICE_COND_EXCLUDE)."""
+        return {k: jnp.asarray(v) for k, v in cond.items()
+                if k not in DEVICE_COND_EXCLUDE}
+
     def _postprocess(self, images) -> np.ndarray:
-        """Latent-space floats -> uint8, through the safety checker when one
-        is configured (reference :586-594: flagged images blacked out,
-        flags surfaced via last_nsfw_flags)."""
-        out = postprocess_to_uint8(np.asarray(images))
+        """Decoded floats -> uint8 (quantized on device when the input is a
+        jax array), through the safety checker when one is configured
+        (reference :586-594: flagged images blacked out, flags surfaced via
+        last_nsfw_flags)."""
+        if isinstance(images, jax.Array):
+            out = np.asarray(_to_uint8_device(images))
+        else:
+            out = postprocess_to_uint8(np.asarray(images))
         if self.safety_checker is not None:
             out, self.last_nsfw_flags = self.safety_checker(out)
         return out
@@ -419,7 +445,7 @@ class ConsistentIDPipeline:
         cond = self.prepare_conditioning(
             prompt, face_image, parsing_labels=parsing_labels,
             faceid_embeds=faceid_embeds, negative_prompt=negative_prompt)
-        cond = {k: jnp.asarray(v) for k, v in cond.items()}
+        cond = self._device_cond(cond)
 
         sf = self.bundle.vae_scale_factor
         rng = jax.random.PRNGKey(seed)
@@ -485,7 +511,7 @@ class ConsistentIDPipeline:
                                if faceid_embeds_list else None),
                 negative_prompt=negative_prompts[i]))
         cond = {k: jnp.asarray(np.concatenate([c[k] for c in conds]))
-                for k in conds[0]}
+                for k in conds[0] if k not in DEVICE_COND_EXCLUDE}
 
         height = kwargs.pop("height", cfg.height)
         width = kwargs.pop("width", cfg.width)

@@ -27,7 +27,7 @@ from ..models import AutoencoderKL
 from ..models.controlnet import ControlNet
 from ..sampling import CondBranch, denoise, make_plan
 from ..sampling.schedulers import SamplerPlan, plan_tail
-from ..utils.image import postprocess_to_uint8, sd_image_preprocess
+from ..utils.image import sd_image_preprocess
 from .consistentid_sd15 import ConsistentIDPipeline
 
 
@@ -142,7 +142,7 @@ class ConsistentIDInpaintPipeline(ConsistentIDPipeline):
         cond["init_image"] = sd_image_preprocess(init_image, height, width)
         cond["pixel_mask"], cond["latent_mask"] = preprocess_mask(
             mask_image, height, width, lh, lw)
-        cond = {k: jnp.asarray(v) for k, v in cond.items()}
+        cond = self._device_cond(cond)
         extra_cond = self._extra_cond(cond, height, width, **extra)
 
         rng = jax.random.PRNGKey(seed)
@@ -163,7 +163,7 @@ class ConsistentIDInpaintPipeline(ConsistentIDPipeline):
             num_steps, scheduler, jnp.float32(ip_scale),
             jnp.float32(lora_scale), float(strength),
             jax.random.fold_in(rng, 1), jax.random.fold_in(rng, 2))
-        return postprocess_to_uint8(np.asarray(images))
+        return self._postprocess(images)
 
     def _extra_cond(self, cond, height, width, **extra):
         return {}
