@@ -230,4 +230,9 @@ class TrainConfig:
     max_steps: int = 100000
     save_steps: int = 1000
     seed: int = 42
-    remat_unet: bool = True
+    # v5e A/B at the reference 512px/batch-2 config: no-remat 0.32 s/step,
+    # full-block remat 0.41, dots-saveable 2.43 (pathological: the policy
+    # saves nothing for conv blocks and blocks fusion). Remat stays opt-in
+    # for configs that exceed HBM (SDXL 1024px, larger batches).
+    remat_unet: bool = False
+    remat_policy: str = "full"  # "full" | "dots", used when remat_unet

@@ -179,3 +179,32 @@ def test_sdxl_train_step():
     t0 = jax.tree_util.tree_leaves(state.trainable)[0]
     t1 = jax.tree_util.tree_leaves(state2.trainable)[0]
     assert not np.allclose(np.asarray(t0), np.asarray(t1))
+
+
+@pytest.mark.parametrize("policy", ["full", "dots"])
+def test_remat_policy_matches_no_remat(policy):
+    """remat (either policy) must be a pure memory/speed tradeoff: identical
+    loss and updated params vs the non-remat step on the same batch/rng."""
+    import dataclasses
+
+    config = TrainConfig(localization_layers=3)
+    schedule = NoiseSchedule.create(SchedulerConfig())
+    batch = synthetic_batch(batch_size=2, size=32, clip_size=28, id_dim=16)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def one_step(remat, remat_policy):
+        bundle = dataclasses.replace(tiny_bundle(), remat=remat,
+                                     remat_policy=remat_policy)
+        params = bundle.init_params(jax.random.PRNGKey(0))
+        state = create_train_state(params, config)
+        step = make_train_step(bundle, schedule, config, mesh=None)
+        state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["loss"]), state2.trainable
+
+    loss_ref, train_ref = one_step(False, "full")
+    loss_rm, train_rm = one_step(True, policy)
+    assert np.isclose(loss_ref, loss_rm, rtol=1e-5), (loss_ref, loss_rm)
+    for a, b in zip(jax.tree_util.tree_leaves(train_ref),
+                    jax.tree_util.tree_leaves(train_rm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
