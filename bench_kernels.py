@@ -23,15 +23,20 @@ def chain_time(fn, args, n=50):
         out, _ = jax.lax.scan(body, q, None, length=n)
         return out
 
-    jax.block_until_ready(run(*args))
+    q, k, v = args
+    jax.block_until_ready(run(q, k, v))
+    # perturb q for the timed call: the remote-execution tunnel memoizes
+    # repeated identical executions, which would report dispatch time only
     t0 = time.perf_counter()
-    jax.block_until_ready(run(*args))
+    jax.block_until_ready(run(q + 1e-3, k, v))
     return (time.perf_counter() - t0) / n
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--batch-scale", type=int, default=1,
+                   help="multiply the CFG-pair batch (4 = serving batch 4)")
     args = p.parse_args()
 
     from consistentid_tpu.ops import flash_attention, reference_attention
@@ -46,6 +51,7 @@ def main():
     ]
     results = {}
     for name, (b, h, sq, sk, d) in shapes:
+        b *= args.batch_scale
         k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(k0, (b, h, sq, d), jnp.bfloat16)
         k = jax.random.normal(k1, (b, h, sk, d), jnp.bfloat16)
@@ -56,15 +62,16 @@ def main():
             r = jax.jit(reference_attention)
             jax.block_until_ready(f(q, k, v))
             jax.block_until_ready(r(q, k, v))
+            # perturb q per iter: the tunnel memoizes identical executions
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = f(q, k, v)
-            jax.block_until_ready(out)
+            for i in range(args.iters):
+                out = f(q + (i + 1) * 1e-4, k, v)
+                jax.block_until_ready(out)
             tf = (time.perf_counter() - t0) / args.iters
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = r(q, k, v)
-            jax.block_until_ready(out)
+            for i in range(args.iters):
+                out = r(q + (i + 1) * 1e-4, k, v)
+                jax.block_until_ready(out)
             tr = (time.perf_counter() - t0) / args.iters
         else:
             tf = chain_time(flash_attention, (q, k, v), args.iters)

@@ -6,7 +6,10 @@ per batch bucket, a microbatching queue — concurrent requests within a
 collection window are stacked, padded to a fixed bucket size {1, 2, 4, ...},
 and run through generate_batch as a single TPU execution, so serving
 throughput rides the batch dimension and NO batch size ever triggers a fresh
-XLA compile after startup warmup.
+XLA compile after startup warmup. Batches are double-buffered: while the
+device runs batch i, batch i+1 is drained + host-prepared + enqueued and
+batch i's output transfer overlaps it (generate_batch_async), so the device
+never idles between batches.
 
 Security model: this server has NO authentication and trusts its callers.
 It binds to 127.0.0.1 by default — put a real ingress (auth, TLS, rate
@@ -111,26 +114,26 @@ class MicroBatcher:
                 return b
         return self.buckets[-1]
 
-    def _worker(self):
-        while not self._stop:
-            self._wake.wait(timeout=0.1)
-            if self._stop:
-                return
-            # collection window: let concurrent requests pile up
-            time.sleep(self.window_ms / 1000.0)
-            self._wake.clear()
-            batch = self._drain()
-            if not batch:
-                continue
-            n = len(batch)
-            size = self._bucket_size(n)
-            padded = batch + [batch[-1]] * (size - n)
+    def _submit_batch(self, batch):
+        """Enqueue one padded batch on the device; returns a zero-arg
+        resolver that fetches results and wakes the waiting requests."""
+        n = len(batch)
+        size = self._bucket_size(n)
+        padded = batch + [batch[-1]] * (size - n)
+        try:
+            finish = self.pipeline.generate_batch_async(
+                [r.prompt for r in padded],
+                [r.image for r in padded],
+                negative_prompts=[r.negative for r in padded],
+                seeds=[r.seed for r in padded])
+        except Exception as e:  # noqa: BLE001
+            finish, err = None, str(e)
+
+        def resolve():
             try:
-                images = self.pipeline.generate_batch(
-                    [r.prompt for r in padded],
-                    [r.image for r in padded],
-                    negative_prompts=[r.negative for r in padded],
-                    seeds=[r.seed for r in padded])
+                if finish is None:
+                    raise RuntimeError(err)
+                images = finish()
                 for i, r in enumerate(batch):
                     r.result = images[i]
                     r.batch_size = n
@@ -141,6 +144,30 @@ class MicroBatcher:
             self.requests_served += n
             for r in batch:
                 r.event.set()
+
+        return resolve
+
+    def _worker(self):
+        # one batch in flight + one being prepared: while the device runs
+        # batch i, batch i+1 is drained, host-prepared, and enqueued, and
+        # only then is batch i fetched — the device never idles between
+        # batches on host prepare or output transfer
+        pending = None
+        while not self._stop:
+            if pending is None:
+                self._wake.wait(timeout=0.1)
+            if self._stop:
+                break
+            # collection window: let concurrent requests pile up
+            time.sleep(self.window_ms / 1000.0)
+            self._wake.clear()
+            batch = self._drain()
+            nxt = self._submit_batch(batch) if batch else None
+            if pending is not None:
+                pending()
+            pending = nxt
+        if pending is not None:
+            pending()
 
     def stop(self):
         self._stop = True

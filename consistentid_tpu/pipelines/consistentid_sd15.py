@@ -21,6 +21,7 @@ the reference (:220-221).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional
@@ -39,6 +40,7 @@ from ..core.config import (AdapterConfig, PipelineConfig, SchedulerConfig,
                            UNetConfig, VAEConfig, CLIPTextConfig,
                            CLIPVisionConfig, sd15_unet_config)
 from ..models import AutoencoderKL, CLIPTextEncoder, CLIPVisionEncoder, UNet
+from ..models.lora import fold_lora_params
 from ..sampling import CondBranch, NoiseSchedule, denoise, make_plan
 from ..utils.image import center_crop_mask, clip_preprocess, postprocess_to_uint8
 
@@ -96,6 +98,12 @@ class SD15Bundle:
     def __post_init__(self):
         self.unet = UNet(self.unet_config, dtype=self.dtype,
                          remat=self.remat, remat_policy=self.remat_policy)
+        # inference twin: LoRA folded into the base kernels (models/lora.py),
+        # so the denoise scan runs a lora_rank=0 graph
+        self.unet_infer = (UNet(
+            dataclasses.replace(self.unet_config, lora_rank=0),
+            dtype=self.dtype) if self.unet_config.lora_rank > 0
+            else self.unet)
         self.vae = AutoencoderKL(self.vae_config, dtype=self.dtype)
         self.text_encoder = CLIPTextEncoder(self.text_config, dtype=self.dtype)
         self.image_encoder = CLIPVisionEncoder(self.vision_config,
@@ -117,6 +125,14 @@ class SD15Bundle:
     @property
     def vae_scale_factor(self) -> int:
         return 2 ** (len(self.vae_config.block_out_channels) - 1)
+
+    def infer_unet(self, unet_params: Dict, lora_scale):
+        """(unet, params) for the inference path: LoRA folded into the base
+        kernels once per call (scale may be traced — no recompile on
+        change), so every step of the denoise scan is LoRA-free."""
+        if self.unet_config.lora_rank <= 0:
+            return self.unet, unet_params
+        return self.unet_infer, fold_lora_params(unet_params, lora_scale)
 
     def fast_random_params(self, rng: jax.Array, stddev: float = 0.02,
                            latent_hw: int = 8) -> Dict:
@@ -384,10 +400,12 @@ class ConsistentIDPipeline:
                 for e in (null_e, aug_e, text_e))
         plan = make_plan(self.schedule, scheduler, num_steps)
 
+        unet, unet_params = self.bundle.infer_unet(params["unet"], lora_scale)
+
         def unet_fn(x, t, context, added, step_i):
-            return self.bundle.unet.apply(
-                {"params": params["unet"]}, x, t, context,
-                added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale)
+            return unet.apply(
+                {"params": unet_params}, x, t, context,
+                added_cond=added, ip_scale=ip_scale)
 
         final = denoise(unet_fn, latents,
                         CondBranch(context=text_e, null=null_e),
@@ -435,6 +453,7 @@ class ConsistentIDPipeline:
         faceid_embeds: Optional[np.ndarray] = None,
         return_latents: bool = False,
         num_images_per_prompt: int = 1,
+        return_device: bool = False,
     ) -> np.ndarray:
         cfg = self.config
         height = height or cfg.height
@@ -473,9 +492,33 @@ class ConsistentIDPipeline:
             num_steps, scheduler, jnp.float32(ip_scale),
             jnp.float32(lora_scale), jax.random.fold_in(rng, 1))
         images = self._core_jit(*self._last_core_args)
+        if return_device:
+            return images
         if return_latents:
             return np.asarray(images)
         return self._postprocess(images)
+
+    def generate_async(self, *args, **kwargs):
+        """Submit a generation; return a zero-arg callable yielding the
+        uint8 images. The device->host copy starts immediately and overlaps
+        any device work submitted before the callable runs — double-buffered
+        serving: submit request i+1, then collect request i. Through a
+        remote-TPU tunnel the fetch costs ~0.2s at batch 4, all of it
+        hidden once calls are pipelined."""
+        images = self.generate(*args, return_device=True, **kwargs)
+        u8 = _to_uint8_device(images)
+        try:
+            u8.copy_to_host_async()
+        except Exception:
+            pass  # copy_to_host_async is best-effort on some backends
+
+        def finish() -> np.ndarray:
+            out = np.asarray(u8)
+            if self.safety_checker is not None:
+                out, self.last_nsfw_flags = self.safety_checker(out)
+            return out
+
+        return finish
 
     def generate_batch(
         self,
@@ -539,7 +582,27 @@ class ConsistentIDPipeline:
             jnp.float32(kwargs.pop("lora_scale", 1.0)),
             jax.random.fold_in(rng, 1))
         images = self._core_jit(*self._last_core_args)
+        if kwargs.pop("return_device", False):
+            return images
         return self._postprocess(images)
+
+    def generate_batch_async(self, *args, **kwargs):
+        """generate_batch, double-buffered: returns a zero-arg callable
+        yielding the uint8 batch (see generate_async)."""
+        images = self.generate_batch(*args, return_device=True, **kwargs)
+        u8 = _to_uint8_device(images)
+        try:
+            u8.copy_to_host_async()
+        except Exception:
+            pass
+
+        def finish() -> np.ndarray:
+            out = np.asarray(u8)
+            if self.safety_checker is not None:
+                out, self.last_nsfw_flags = self.safety_checker(out)
+            return out
+
+        return finish
 
     def _step_example(self):
         """(x, t, context, added) example arrays replicating one in-scan CFG
@@ -569,8 +632,10 @@ class ConsistentIDPipeline:
         x, t, ctx, added = self._step_example()
 
         def pair(params, x, t, ctx, added):
-            return self.bundle.unet.apply(
-                {"params": params["unet"]}, x, t, ctx, added_cond=added)
+            # matches the executed graph: LoRA folded out of the scan body
+            unet, unet_params = self.bundle.infer_unet(params["unet"], 1.0)
+            return unet.apply(
+                {"params": unet_params}, x, t, ctx, added_cond=added)
 
         old = attn_ops._FLASH_DISABLED
         attn_ops._FLASH_DISABLED = True

@@ -157,10 +157,12 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
             time_ids = rep(time_ids)
         plan = make_plan(self.schedule, scheduler, num_steps)
 
+        unet, unet_params = self.bundle.infer_unet(params["unet"], lora_scale)
+
         def unet_fn(x, t, context, added, step_i):
-            return self.bundle.unet.apply(
-                {"params": params["unet"]}, x, t, context,
-                added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale)
+            return unet.apply(
+                {"params": unet_params}, x, t, context,
+                added_cond=added, ip_scale=ip_scale)
 
         final = denoise(unet_fn, latents, text_b, facial_b, plan,
                         guidance_scale, start_merge_step, rng=rng,

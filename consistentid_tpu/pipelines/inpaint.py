@@ -98,15 +98,17 @@ class ConsistentIDInpaintPipeline(ConsistentIDPipeline):
                                                     noise)
             inpaint_mask = latent_mask
 
+        unet, unet_params = bundle.infer_unet(params["unet"], lora_scale)
+
         def unet_fn(x, t, context, added, step_i):
             if nine_channel:
                 m2 = jnp.concatenate([latent_mask, latent_mask], axis=0)
                 ml2 = jnp.concatenate([masked_latents, masked_latents], axis=0)
                 x = jnp.concatenate([x, m2.astype(x.dtype),
                                      ml2.astype(x.dtype)], axis=-1)
-            return bundle.unet.apply(
-                {"params": params["unet"]}, x, t, context,
-                added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale)
+            return unet.apply(
+                {"params": unet_params}, x, t, context,
+                added_cond=added, ip_scale=ip_scale)
 
         final = denoise(unet_fn, latents,
                         CondBranch(context=text_e, null=null_e),
@@ -225,6 +227,7 @@ class ConsistentIDControlNetInpaintPipeline(ConsistentIDInpaintPipeline):
         scale_table = jnp.asarray(keep * self.controlnet_scale)
 
         control2 = jnp.concatenate([cond["control_image"]] * 2, axis=0)
+        unet, unet_params = bundle.infer_unet(params["unet"], lora_scale)
 
         def unet_fn(x, t, context, added, step_i):
             down_res, mid_res = self.controlnet.apply(
@@ -239,9 +242,9 @@ class ConsistentIDControlNetInpaintPipeline(ConsistentIDInpaintPipeline):
                     [jnp.zeros((b,)), jnp.ones((b,))]).reshape(-1, 1, 1, 1)
                 down_res = tuple(r * gate.astype(r.dtype) for r in down_res)
                 mid_res = mid_res * gate.astype(mid_res.dtype)
-            return bundle.unet.apply(
-                {"params": params["unet"]}, x, t, context,
-                added_cond=added, lora_scale=lora_scale, ip_scale=ip_scale,
+            return unet.apply(
+                {"params": unet_params}, x, t, context,
+                added_cond=added, ip_scale=ip_scale,
                 down_block_residuals=down_res, mid_residual=mid_res)
 
         final = denoise(unet_fn, latents,

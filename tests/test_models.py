@@ -201,3 +201,49 @@ def test_unet_remat_matches_and_differentiates():
     g = jax.grad(loss)(params)
     assert np.isfinite(
         float(jax.tree_util.tree_leaves(g)[0].sum()))
+
+
+def test_lora_fold_matches_live_branch():
+    """Inference LoRA folding (models/lora.py): a lora_rank=0 UNet on folded
+    params must match the live-LoRA UNet at the same scale, and the folded
+    tree must be exactly the tree the plain UNet expects."""
+    import dataclasses
+
+    from consistentid_tpu.models.lora import fold_lora_params
+
+    cfg = tiny_unet_config(lora_rank=4, ip_num_tokens=4)
+    live = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    t = jnp.array([3])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 81, 32))
+    params = live.init(rng, x, t, ctx)["params"]
+    # randomize every leaf: the semantic init zeroes the LoRA up-projection,
+    # which would make the fold trivially a no-op
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = treedef.unflatten(
+        [0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)])
+
+    scale = 0.7
+    out_live = live.apply({"params": params}, x, t, ctx,
+                          lora_scale=scale, ip_scale=0.5)
+
+    plain = UNet(dataclasses.replace(cfg, lora_rank=0))
+    folded = fold_lora_params(params, scale)
+    plain_struct = jax.eval_shape(
+        lambda: plain.init(rng, x, t, ctx))["params"]
+    assert (jax.tree_util.tree_structure(folded)
+            == jax.tree_util.tree_structure(plain_struct))
+    out_fold = plain.apply({"params": folded}, x, t, ctx, ip_scale=0.5)
+    np.testing.assert_allclose(np.asarray(out_live), np.asarray(out_fold),
+                               rtol=1e-4, atol=1e-5)
+
+    # scale is foldable while traced (the pipelines fold inside jit)
+    out_jit = jax.jit(
+        lambda p, s: plain.apply({"params": fold_lora_params(p, s)},
+                                 x, t, ctx, ip_scale=0.5))(params,
+                                                           jnp.float32(scale))
+    np.testing.assert_allclose(np.asarray(out_fold), np.asarray(out_jit),
+                               rtol=1e-4, atol=1e-5)
