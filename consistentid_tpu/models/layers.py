@@ -89,14 +89,24 @@ class Downsample(nn.Module):
                        dtype=self.dtype, name="conv")(x)
 
 
+def upsample2x_nearest(x: jax.Array) -> jax.Array:
+    """2x nearest-neighbor upsample as broadcast+reshape — identical output
+    to jax.image.resize(..., method="nearest") at integer scale 2 (torch
+    F.interpolate semantics: out[2i] = out[2i+1] = in[i]) but pure layout
+    ops; resize lowers to gathers, which are slow on TPU at the VAE
+    decoder's (B, 512, 512, C) sizes."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
 class Upsample(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = upsample2x_nearest(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv")(x)
 

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import VAEConfig
+from .layers import upsample2x_nearest
 
 VAE_GN_EPS = 1e-6
 
@@ -124,9 +125,7 @@ class Decoder(nn.Module):
                 h = VAEResnet(out_ch, groups=cfg.norm_num_groups,
                               dtype=self.dtype, name=f"up_{i}_resnet_{j}")(h)
             if i < n - 1:
-                b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c),
-                                     method="nearest")
+                h = upsample2x_nearest(h)
                 h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{i}_upsample")(h)
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=VAE_GN_EPS,

@@ -25,6 +25,10 @@ _FLASH_DISABLED = os.environ.get("CONSISTENTID_DISABLE_FLASH", "0") == "1"
 # and padding overheads dominate); tuned on v5e — see bench_kernels.py
 _FLASH_MIN_ELEMS = 1024 * 1024
 
+# A/B tuning knob for the flash q-block (rows per program). 256 measured
+# best on v5e at SD1.5 shapes (512 A/B'd via profile_components: no gain)
+_FLASH_BLOCK_Q = int(os.environ.get("CONSISTENTID_FLASH_BLOCK_Q", "256"))
+
 
 def reference_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -63,7 +67,7 @@ def dot_product_attention(
         big = q.shape[2] * k.shape[2] >= _FLASH_MIN_ELEMS
         use_flash = on_tpu and big and not _FLASH_DISABLED
     if use_flash:
-        return flash_attention(q, k, v, sm_scale)
+        return flash_attention(q, k, v, sm_scale, block_q=_FLASH_BLOCK_Q)
     return reference_attention(q, k, v, sm_scale)
 
 

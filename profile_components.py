@@ -24,19 +24,25 @@ from consistentid_tpu.models import AutoencoderKL
 from PIL import Image
 
 
+def _force(out):
+    """Fetch one scalar from the output: through the remote-execution
+    tunnel, block_until_ready alone is not a reliable execution barrier
+    (observed: a 3 s chain 'completing' in 12 ms); a host fetch is."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
 def timed(fn, *args, n=3, vary=None):
     """vary: index of a float-array arg to perturb per iter — identical
     calls can be memoized by the remote-execution tunnel, so every timed
     call must be unique."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     t0 = time.perf_counter()
     for i in range(n):
         a = list(args)
         if vary is not None:
             a[vary] = args[vary] + (i + 1) * 1e-6
-        out = fn(*a)
-        jax.block_until_ready(out)
+        _force(fn(*a))
     return (time.perf_counter() - t0) / n
 
 
@@ -44,6 +50,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--only-folded", action="store_true",
+                   help="time just the folded denoise chain (kernel A/Bs)")
     args = p.parse_args()
 
     bundle = SD15Bundle(
@@ -72,6 +80,27 @@ def main():
     x = jnp.zeros((B, 64, 64, 4), jnp.float32)
     t = jnp.zeros((B,), jnp.float32)
     ctx = jnp.zeros((2 * B, 81, 768), jnp.bfloat16)
+
+    if args.only_folded:
+        @jax.jit
+        def chain(params, x, t, ctx):
+            unet, unet_params = bundle.infer_unet(params["unet"],
+                                                  jnp.float32(1.0))
+
+            def pair(c, _):
+                xx = jnp.concatenate([c, c], axis=0).astype(jnp.bfloat16)
+                tt = jnp.concatenate([t, t], axis=0)
+                eps = unet.apply({"params": unet_params}, xx, tt, ctx)
+                e_u, e_c = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+                return c + 0.001 * (e_u + 7.5 * (e_c - e_u)), None
+
+            out, _ = jax.lax.scan(pair, x, None, length=args.steps)
+            return out
+
+        tl = timed(chain, pipe.params, x, t, ctx, vary=1)
+        print({"denoise_loop_folded_s": round(tl, 4),
+               "per_step_folded_ms": round(tl / args.steps * 1e3, 3)})
+        return
 
     # 1) encode stage alone (vary a cond field per iter)
     def enc_fn(params, face_pixels):

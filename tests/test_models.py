@@ -247,3 +247,14 @@ def test_lora_fold_matches_live_branch():
                                                            jnp.float32(scale))
     np.testing.assert_allclose(np.asarray(out_fold), np.asarray(out_jit),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_upsample2x_nearest_matches_resize():
+    """Broadcast+reshape 2x upsample must equal jax.image.resize nearest
+    (torch F.interpolate semantics the converters assume)."""
+    from consistentid_tpu.models.layers import upsample2x_nearest
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 7, 3))
+    got = upsample2x_nearest(x)
+    want = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))

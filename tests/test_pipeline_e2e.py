@@ -198,3 +198,18 @@ def test_last_cost_analysis_and_mfu(pipeline):
     assert device_peak_tflops(_FakeDev()) == 197.0
     got = mfu(197e12 * 0.5, 1.0, _FakeDev())
     assert abs(got - 0.5) < 1e-9
+
+
+def test_generate_async_matches_sync(pipeline):
+    """Double-buffered serving path: generate_async must produce exactly the
+    sync generate() output, and pipelined submits must stay independent."""
+    face, labels = synthetic_face_inputs()
+    faceid = np.zeros((1, 16), np.float32)
+    kw = dict(parsing_labels=labels, faceid_embeds=faceid)
+    sync7 = pipeline.generate("a man with a face", face, seed=7, **kw)
+    sync9 = pipeline.generate("a man with a face", face, seed=9, **kw)
+    # submit both before collecting either (the serving overlap pattern)
+    f7 = pipeline.generate_async("a man with a face", face, seed=7, **kw)
+    f9 = pipeline.generate_async("a man with a face", face, seed=9, **kw)
+    np.testing.assert_array_equal(f7(), sync7)
+    np.testing.assert_array_equal(f9(), sync9)
