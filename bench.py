@@ -32,11 +32,11 @@ def main():
                    help="full-size SD1.5 adapter training step time/MFU "
                         "(512px, the reference's per-GPU batch 2)")
     p.add_argument("--remat", choices=["full", "dots", "none"],
-                   default="none",
+                   default="full",
                    help="--train UNet rematerialization. Measured on v5e "
-                        "(512px, batch 2): none=0.32 s/step, full=0.41, "
-                        "dots=2.43 (pathological for conv nets); 'full' is "
-                        "for configs that exceed HBM (e.g. SDXL 1024px)")
+                        "(512px, batch 2, fetch-barrier timing): "
+                        "full=0.404 s/step, dots=0.403, none=0.474 — "
+                        "remat wins on speed AND memory here")
     args = p.parse_args()
 
     if args.sdxl:
@@ -152,6 +152,7 @@ def bench_train(args):
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from consistentid_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -183,14 +184,17 @@ def bench_train(args):
 
     rng = jax.random.PRNGKey(1)
     state, metrics = step(state, batch, rng)  # compile
-    jax.block_until_ready(metrics["loss"])
-    assert jnp.isfinite(metrics["loss"]), metrics
+    # fetch, don't just block: through the remote tunnel block_until_ready
+    # is not a reliable execution barrier (see ROUND_NOTES), and the rng
+    # fold per iter keeps every execution unique (no tunnel memoization)
+    assert np.isfinite(float(metrics["loss"])), metrics
 
     t0 = time.perf_counter()
     for i in range(args.iters):
         state, metrics = step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / args.iters
+    assert np.isfinite(final_loss)
 
     rec = {
         "metric": f"SD1.5 {args.height}px adapter train step "

@@ -25,9 +25,13 @@ import jax.numpy as jnp
 from .schedulers import SamplerPlan
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class CondBranch:
-    """One conditioning branch (text-only or facial-augmented)."""
+    """One conditioning branch (text-only or facial-augmented).
+
+    Registered as a pytree so it can cross jit/eval_shape boundaries
+    (the SDXL step_flops path returns one from a traced function)."""
 
     context: jax.Array                 # (B, L, D) positive embeddings
     null: jax.Array                    # (B, L, D) negative embeddings
