@@ -37,6 +37,13 @@ def main():
                         "(512px, batch 2, fetch-barrier timing): "
                         "full=0.404 s/step, dots=0.403, none=0.474 — "
                         "remat wins on speed AND memory here")
+    p.add_argument("--steps-per-call", type=int, default=8,
+                   help="--train optimizer steps per dispatch "
+                        "(make_multi_train_step lax.scan). The 512px "
+                        "batch-2 step is ~0.19 s device compute but each "
+                        "dispatch costs ~0.2 s through the remote tunnel; "
+                        "scanning N steps amortizes it. 1 = the reference's "
+                        "one-dispatch-per-step shape")
     args = p.parse_args()
 
     if args.sdxl:
@@ -183,7 +190,23 @@ def bench_train(args):
         id_dim=512).items()}
 
     rng = jax.random.PRNGKey(1)
-    state, metrics = step(state, batch, rng)  # compile
+    spc = max(1, args.steps_per_call)
+    if spc > 1:
+        from consistentid_tpu.training import make_multi_train_step
+
+        multi = make_multi_train_step(bundle, schedule, config, n_steps=spc,
+                                      mesh=None)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (spc, *x.shape)), batch)
+
+        def run(state, key):
+            state, metrics = multi(state, stacked, key)
+            return state, {"loss": metrics["loss"][-1]}
+    else:
+        def run(state, key):
+            return step(state, batch, key)
+
+    state, metrics = run(state, rng)  # compile
     # fetch, don't just block: through the remote tunnel block_until_ready
     # is not a reliable execution barrier (see ROUND_NOTES), and the rng
     # fold per iter keeps every execution unique (no tunnel memoization)
@@ -191,14 +214,15 @@ def bench_train(args):
 
     t0 = time.perf_counter()
     for i in range(args.iters):
-        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        state, metrics = run(state, jax.random.fold_in(rng, i))
     final_loss = float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / args.iters
+    dt = (time.perf_counter() - t0) / (args.iters * spc)
     assert np.isfinite(final_loss)
 
     rec = {
         "metric": f"SD1.5 {args.height}px adapter train step "
-                  f"(batch {batch_size}/chip, remat={args.remat})",
+                  f"(batch {batch_size}/chip, remat={args.remat}, "
+                  f"{spc} steps/dispatch)",
         "value": round(dt, 4),
         "unit": "s/step",
         "vs_baseline": round(0.5 / max(dt, 1e-9), 3),  # 0.5 s/step heuristic

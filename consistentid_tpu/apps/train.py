@@ -46,6 +46,12 @@ def build_parser():
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16",
                    help="compute dtype (params stay fp32 masters; bf16 "
                         "matches the reference's mixed_precision=bf16)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="optimizer steps per device dispatch "
+                        "(make_multi_train_step lax.scan over stacked "
+                        "batches). >1 amortizes host dispatch latency — "
+                        "essential on remote/tunneled TPUs where each "
+                        "dispatch costs ~0.2 s (see ROUND_NOTES)")
     return p
 
 
@@ -53,6 +59,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     import jax
+    import numpy as np
 
     from ..core.cache import enable_compilation_cache
     from ..core.config import (AdapterConfig, SchedulerConfig, TrainConfig,
@@ -123,7 +130,13 @@ def main(argv=None):
     state = create_train_state(params, config)
     ckpt = CheckpointManager(args.output_dir)
     state = ckpt.restore(state)
-    step_fn = make_train_step(bundle, schedule, config, mesh=mesh)
+    spc = max(1, args.steps_per_call)
+    if spc > 1:
+        from ..training import make_multi_train_step
+        step_fn = make_multi_train_step(bundle, schedule, config, spc,
+                                        mesh=mesh)
+    else:
+        step_fn = make_train_step(bundle, schedule, config, mesh=mesh)
 
     dataset = FGIDDataset(args.manifest, tokenizer, size=args.resolution,
                           image_root=args.data_root, seed=config.seed)
@@ -134,35 +147,55 @@ def main(argv=None):
                     * config.grad_accum_steps)
 
     step = int(state.step)
-    profiling = False
+    profiling = profile_done = False
+    pending = []  # host batches awaiting one multi-step dispatch
     for batch in dataset.batches(global_batch, epochs=args.epochs):
         if step >= config.max_steps:
             break
-        if args.profile_dir and step == 2 and not profiling:
-            # skip compile steps, then capture a 8-step device trace
+        if args.profile_dir and step >= 2 and not profiling \
+                and not profile_done:
+            # skip compile steps, then capture a ~8-step device trace
             jax.profiler.start_trace(args.profile_dir)
             profiling = True
-        if profiling and step == 10:
+        if profiling and step >= 10:
             jax.profiler.stop_trace()
-            profiling = False
+            profiling, profile_done = False, True
         if config.grad_accum_steps > 1:
             # (accum, n_devices * batch_per_device, ...): the per-example
             # dim (1) is sharded over the mesh, the accum dim is scanned
             batch = {k: v.reshape(config.grad_accum_steps, -1, *v.shape[1:])
                      for k, v in batch.items()}
-            batch = shard_batch(mesh, batch, batch_dim=1)
+        if spc > 1:
+            # stack spc loader batches into one scan dispatch; the leading
+            # steps dim is replicated, the per-example dim stays sharded
+            pending.append(batch)
+            if len(pending) < spc:
+                continue
+            batch = {k: np.stack([b[k] for b in pending])
+                     for k in pending[0]}
+            pending = []
+            batch = shard_batch(
+                mesh, batch,
+                batch_dim=2 if config.grad_accum_steps > 1 else 1)
         else:
-            batch = shard_batch(mesh, batch)
+            batch = shard_batch(
+                mesh, batch,
+                batch_dim=1 if config.grad_accum_steps > 1 else 0)
         timer.data_loaded()
         state, metrics = step_fn(state, batch,
                                  jax.random.fold_in(rng, step))
-        jax.block_until_ready(metrics["loss"])
+        # fetch (not just block): the only reliable execution barrier
+        # through remote-TPU tunnels — see ROUND_NOTES
+        last_loss = float(jax.tree_util.tree_leaves(metrics["loss"])[0]
+                          .reshape(-1)[-1])
         timer.step_done()
+        prev = step
         step = int(state.step)
-        if step % 10 == 0:
-            logger.log(step, {**{k: float(v) for k, v in metrics.items()},
-                              **timer.summary()})
-        if step % config.save_steps == 0:
+        if step % 10 < step - prev or step % 10 == 0:
+            scalar = {k: float(np.asarray(v).reshape(-1)[-1])
+                      for k, v in metrics.items()}
+            logger.log(step, {**scalar, **timer.summary()})
+        if step // config.save_steps > prev // config.save_steps:
             ckpt.save(state)
     ckpt.save(state)
     logger.close()

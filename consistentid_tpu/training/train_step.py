@@ -182,6 +182,66 @@ def make_train_step(bundle, schedule: NoiseSchedule, config: TrainConfig,
     of accelerate.accumulate (reference train.py:223). Each batch leaf must
     then have leading dims (accum_steps, per_device_batch, ...).
     """
+    step_fn = _build_step_fn(bundle, schedule, config, mesh, data_axis,
+                             loss_fn_impl)
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    pspec_state = TrainState(trainable=P(), frozen=P(), opt_state=P(),
+                             step=P())
+    # grad-accum batches arrive as (accum, global_batch, ...): shard the
+    # per-example dim, replicate the accum dim each device scans over
+    accum = config.grad_accum_steps
+    batch_spec = P(None, data_axis) if accum > 1 else P(data_axis)
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(pspec_state, batch_spec, P()),
+        out_specs=(pspec_state, P()))
+    return jax.jit(sharded)
+
+
+def make_multi_train_step(bundle, schedule: NoiseSchedule,
+                          config: TrainConfig, n_steps: int,
+                          mesh: Optional[Mesh] = None,
+                          data_axis: str = "data", loss_fn_impl=None):
+    """N distinct optimizer steps per dispatch, as one lax.scan.
+
+    Amortizes per-call host->device dispatch latency, which dominates small
+    executables on remote/tunneled TPUs: the 512px batch-2 step is ~0.19 s
+    of device compute but ~0.40 s wall per individual dispatch through the
+    tunnel (profiled — see ROUND_NOTES round 2). Each batch leaf must have
+    leading dims (n_steps, per_device_batch, ...) — or
+    (n_steps, accum, ...) under gradient accumulation; the per-step rng is
+    folded from the call rng. Returned metrics are stacked (n_steps, ...).
+    """
+    step_fn = _build_step_fn(bundle, schedule, config, mesh, data_axis,
+                             loss_fn_impl)
+
+    def multi(state: TrainState, batches: Dict, rng: jax.Array):
+        def body(s, inp):
+            i, b = inp
+            s, m = step_fn(s, b, jax.random.fold_in(rng, i))
+            return s, m
+
+        return jax.lax.scan(body, state, (jnp.arange(n_steps), batches))
+
+    if mesh is None:
+        return jax.jit(multi)
+
+    pspec_state = TrainState(trainable=P(), frozen=P(), opt_state=P(),
+                             step=P())
+    accum = config.grad_accum_steps
+    batch_spec = (P(None, None, data_axis) if accum > 1
+                  else P(None, data_axis))
+    sharded = shard_map(
+        multi, mesh=mesh,
+        in_specs=(pspec_state, batch_spec, P()),
+        out_specs=(pspec_state, P()))
+    return jax.jit(sharded)
+
+
+def _build_step_fn(bundle, schedule: NoiseSchedule, config: TrainConfig,
+                   mesh: Optional[Mesh], data_axis: str, loss_fn_impl):
     optimizer = make_optimizer(config)
     loss_impl = loss_fn_impl or consistentid_loss
     accum = config.grad_accum_steps
@@ -226,16 +286,4 @@ def make_train_step(bundle, schedule: NoiseSchedule, config: TrainConfig,
         return TrainState(trainable=trainable, frozen=state.frozen,
                           opt_state=opt_state, step=state.step + 1), metrics
 
-    if mesh is None:
-        return jax.jit(step_fn)
-
-    pspec_state = TrainState(trainable=P(), frozen=P(), opt_state=P(),
-                             step=P())
-    # grad-accum batches arrive as (accum, global_batch, ...): shard the
-    # per-example dim, replicate the accum dim each device scans over
-    batch_spec = P(None, data_axis) if accum > 1 else P(data_axis)
-    sharded = shard_map(
-        step_fn, mesh=mesh,
-        in_specs=(pspec_state, batch_spec, P()),
-        out_specs=(pspec_state, P()))
-    return jax.jit(sharded)
+    return step_fn
