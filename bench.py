@@ -32,11 +32,11 @@ def main():
                    help="full-size SD1.5 adapter training step time/MFU "
                         "(512px, the reference's per-GPU batch 2)")
     p.add_argument("--remat", choices=["full", "dots", "none"],
-                   default="full",
-                   help="--train UNet rematerialization. Measured on v5e "
-                        "(512px, batch 2, fetch-barrier timing): "
-                        "full=0.404 s/step, dots=0.403, none=0.474 — "
-                        "remat wins on speed AND memory here")
+                   default="none",
+                   help="--train UNet rematerialization. v5e, 512px batch "
+                        "2, 8 steps/dispatch: none=0.189 s/step, "
+                        "full=0.206 — no-remat fits HBM here and is ~8%% "
+                        "faster; remat is for configs that OOM")
     p.add_argument("--steps-per-call", type=int, default=8,
                    help="--train optimizer steps per dispatch "
                         "(make_multi_train_step lax.scan). The 512px "

@@ -38,11 +38,12 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--remat", choices=["full", "dots", "none"],
-                   default="full",
+                   default="none",
                    help="UNet rematerialization under autodiff. v5e A/B at "
-                        "the reference 512px/batch-2 config: full 0.404 "
-                        "s/step, dots 0.403, none 0.474 — remat is ~15%% "
-                        "faster here on top of the memory savings")
+                        "the reference 512px/batch-2 config, dispatch "
+                        "latency amortized: none 0.189 s/step, full 0.206 "
+                        "— default off (fits HBM); turn on for configs "
+                        "that OOM at ~8%% step-time cost")
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16",
                    help="compute dtype (params stay fp32 masters; bf16 "
                         "matches the reference's mixed_precision=bf16)")

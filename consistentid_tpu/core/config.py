@@ -230,10 +230,11 @@ class TrainConfig:
     max_steps: int = 100000
     save_steps: int = 1000
     seed: int = 42
-    # v5e A/B at the reference 512px/batch-2 config, measured with a host
-    # fetch as the barrier (block_until_ready is unreliable through the
-    # remote tunnel): full-block remat 0.404 s/step, dots-saveable 0.403,
-    # no-remat 0.474 — remat is ~15% FASTER here (less HBM pressure) on
-    # top of the memory win, so it defaults on.
-    remat_unet: bool = True
+    # v5e A/B at the reference 512px/batch-2 config with dispatch latency
+    # amortized (8 steps/dispatch, fetch-barrier timing — single-dispatch
+    # comparisons are dominated by ~0.2 s/call tunnel noise): no-remat
+    # 0.189 s/step vs full-block remat 0.206. This config fits HBM without
+    # remat, so it defaults off; turn on for configs that OOM (SDXL
+    # 1024px, larger batches) at an ~8% step-time cost.
+    remat_unet: bool = False
     remat_policy: str = "full"  # "full" | "dots" (measured equal on v5e)
