@@ -258,3 +258,36 @@ def test_upsample2x_nearest_matches_resize():
     got = upsample2x_nearest(x)
     want = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_fast_group_norm_matches_flax():
+    """ops/group_norm.GroupNorm (TPU-shaped two-stage reduction, optional
+    fused SiLU) must match flax nn.GroupNorm numerically and in param
+    layout — the converters and checkpoints depend on both."""
+    import flax.linen as nn
+
+    from consistentid_tpu.ops.group_norm import GroupNorm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32)) * 3 + 1
+    ref = nn.GroupNorm(num_groups=8, epsilon=1e-5)
+    mine = GroupNorm(num_groups=8, epsilon=1e-5)
+    params = ref.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                mine.init(jax.random.PRNGKey(1), x)))
+    params = jax.tree_util.tree_map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(2), a.shape), params)
+
+    want = ref.apply(params, x)
+    np.testing.assert_allclose(np.asarray(mine.apply(params, x)),
+                               np.asarray(want), rtol=2e-5, atol=2e-5)
+    got_silu = GroupNorm(num_groups=8, epsilon=1e-5, act="silu").apply(
+        params, x)
+    np.testing.assert_allclose(
+        np.asarray(got_silu),
+        np.asarray(want * jax.nn.sigmoid(want)), rtol=2e-5, atol=2e-5)
+    # (B, L, C) inputs (Transformer2D linear-projection path)
+    x2 = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 32))
+    np.testing.assert_allclose(
+        np.asarray(mine.apply(params, x2)),
+        np.asarray(ref.apply(params, x2)), rtol=2e-5, atol=2e-5)
