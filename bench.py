@@ -67,6 +67,11 @@ def main():
         from consistentid_tpu.testing import tiny_bundle
         bundle = tiny_bundle()
         id_dim = 16
+        # smoke mode runs tiny shapes end-to-end: at the default 512px the
+        # tiny VAE's small scale factor yields 65k-token self-attention,
+        # which no longer fits the flash kernel's full-K/V-in-VMEM layout
+        if args.height == p.get_default("height"):
+            args.height = args.width = 64
     else:
         bundle = SD15Bundle(
             unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
