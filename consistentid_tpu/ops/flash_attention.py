@@ -40,6 +40,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _check_kv_vmem_budget(sk_p: int, d: int, dtype,
+                          budget_bytes: int = 100 * 1024 * 1024) -> None:
+    """Actionable error instead of a Mosaic allocation failure.
+
+    The kernel keeps one head's FULL (padded) K and V in VMEM,
+    double-buffered, and Mosaic pads the minor dim to the 128-lane tile —
+    so a degenerate shape like seq 65k at d=16 fp32 wants
+    65536*128*4B*2*2 = 128 MB of VMEM and dies deep inside Mosaic."""
+    lane_d = _round_up(d, 128)
+    need = 2 * 2 * sk_p * lane_d * jnp.dtype(dtype).itemsize
+    if need > budget_bytes:
+        raise ValueError(
+            f"flash_attention: K/V for one head needs ~{need >> 20} MiB of "
+            f"VMEM (seq {sk_p} x lane-padded head_dim {lane_d}, "
+            f"{jnp.dtype(dtype).name}, double-buffered), over the "
+            f"{budget_bytes >> 20} MiB budget. Reduce sequence length, use "
+            "bf16 inputs, or fall back to XLA attention "
+            "(dot_product_attention(..., use_flash=False)).")
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float,
                   kv_len: int):
     """One (head, q-block) program: stream K/V blocks with online softmax.
@@ -167,6 +187,9 @@ def _flash_forward(
     # q/k/v/o copies in HBM for SD1.5's d=40 — pure bandwidth waste
     # (profiled: level-0 attention was 33% of the UNet step).
     d_p = d
+
+    if not interpret:
+        _check_kv_vmem_budget(sk_p, d_p, q.dtype)
 
     qf = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     kf = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
@@ -347,6 +370,8 @@ def _flash_forward_lse(q, k, v, sm_scale, *, block_q: int = 256,
     b, h, sq, d = q.shape
     sk = k.shape[2]
     qf, kf, vf, bq, bk, sq_p, sk_p, d_p = _pad_attn(q, k, v, block_q, block_k)
+    if not interpret:
+        _check_kv_vmem_budget(sk_p, d_p, q.dtype)
     out, lse = pl.pallas_call(
         functools.partial(_flash_fwd_lse_kernel, block_k=bk,
                           sm_scale=sm_scale, kv_len=sk),
@@ -383,6 +408,9 @@ def _flash_backward(q, k, v, do, lse, delta, sm_scale, *, block_q: int = 256,
     b, h, sq, d = q.shape
     sk = k.shape[2]
     qf, kf, vf, bq, bk, sq_p, sk_p, d_p = _pad_attn(q, k, v, block_q, block_k)
+    if not interpret:
+        # dQ streams full K/V; dK/dV streams full Q/dO — both sides bound
+        _check_kv_vmem_budget(max(sk_p, sq_p), d_p, q.dtype)
     dof = jnp.pad(do, ((0, 0), (0, 0), (0, sq_p - sq),
                        (0, d_p - d))).reshape(b * h, sq_p, d_p)
     lsef = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq))).reshape(

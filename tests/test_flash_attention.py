@@ -104,3 +104,18 @@ def test_flash_backward_padded_shapes():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=tol)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=tol)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=tol)
+
+
+def test_flash_kv_vmem_budget_error():
+    """Degenerate shapes (huge seq x tiny head_dim) must raise an actionable
+    error instead of dying inside Mosaic's VMEM allocator: one head's full
+    K/V is lane-padded to 128 and double-buffered in VMEM."""
+    import pytest
+
+    from consistentid_tpu.ops.flash_attention import _check_kv_vmem_budget
+
+    with pytest.raises(ValueError, match="VMEM"):
+        _check_kv_vmem_budget(65536, 16, jnp.float32)
+    # the real configs fit comfortably
+    _check_kv_vmem_budget(4096, 40, jnp.bfloat16)    # SD1.5 level-0
+    _check_kv_vmem_budget(17408, 64, jnp.bfloat16)   # SDXL 1024px level-1
