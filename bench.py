@@ -20,9 +20,17 @@ def main():
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--batch", type=int, default=4,
-                   help="num_images_per_prompt (serving throughput; 1 for\n"
-                        "single-image latency)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="batch size. Default resolves per mode: 4 for "
+                        "serving throughput (1 for single-image latency), "
+                        "2 for --train (the reference's per-GPU batch, "
+                        "train_bash.sh:8). An explicit value is always "
+                        "honored as-is.")
+    p.add_argument("--tokenizer-dir", default=None,
+                   help="diffusers tokenizer/ dump (vocab.json+merges.txt) "
+                        "to bench with real CLIP BPE ids; default uses a "
+                        "synthetic byte-level BPE vocab so the production "
+                        "CLIPBPETokenizer path is benched either way")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config smoke mode (CI)")
     p.add_argument("--sdxl", action="store_true",
@@ -49,7 +57,11 @@ def main():
     if args.sdxl:
         return bench_sdxl(args)
     if args.train:
+        if args.batch is None:
+            args.batch = 2  # reference per-GPU batch (train_bash.sh:8)
         return bench_train(args)
+    if args.batch is None:
+        args.batch = 4  # serving default
 
     import jax
     import jax.numpy as jnp
@@ -61,7 +73,6 @@ def main():
     from consistentid_tpu.core import (AdapterConfig, PipelineConfig,
                                        sd15_unet_config)
     from consistentid_tpu.pipelines import ConsistentIDPipeline, SD15Bundle
-    from consistentid_tpu.conditioning import SimpleTokenizer
 
     if args.tiny:
         from consistentid_tpu.testing import tiny_bundle
@@ -69,9 +80,14 @@ def main():
         id_dim = 16
         # smoke mode runs tiny shapes end-to-end: at the default 512px the
         # tiny VAE's small scale factor yields 65k-token self-attention,
-        # which no longer fits the flash kernel's full-K/V-in-VMEM layout
-        if args.height == p.get_default("height"):
+        # which no longer fits the flash kernel's full-K/V-in-VMEM layout.
+        # Only applied when BOTH dims are left at their defaults; an
+        # explicit --height/--width is honored (and may OOM — the flash
+        # kernel raises an actionable VMEM-budget error).
+        if args.height == p.get_default("height") and \
+                args.width == p.get_default("width"):
             args.height = args.width = 64
+            args.tiny_downsized = True
     else:
         bundle = SD15Bundle(
             unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
@@ -82,7 +98,15 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     params = bundle.fast_random_params(rng)
-    tok = SimpleTokenizer()
+    # bench the production tokenizer path (pipelines/loading.py default):
+    # a real vocab when given, else a synthetic universal byte-level vocab
+    # through the same CLIPBPETokenizer code
+    if args.tokenizer_dir:
+        from consistentid_tpu.conditioning import CLIPBPETokenizer
+        tok = CLIPBPETokenizer.from_pretrained(args.tokenizer_dir)
+    else:
+        from consistentid_tpu.testing import synthetic_clip_tokenizer
+        tok = synthetic_clip_tokenizer()
     pipe = ConsistentIDPipeline(
         bundle, params, tok,
         pipeline_config=PipelineConfig(
@@ -134,6 +158,8 @@ def main():
         "unit": "images/min",
         "vs_baseline": round(images_per_min / 30.0, 3),
     }
+    if getattr(args, "tiny_downsized", False):
+        rec["note"] = "tiny smoke mode downsized to 64px (default dims)"
     # MFU: XLA cost analysis counts the lax.scan body once, so the denoise
     # loop is step_flops * steps on top of the core graph's encode/decode;
     # dt is end-to-end (incl. host prepare/postprocess) so this is the
@@ -177,7 +203,7 @@ def bench_train(args):
                                            make_train_step, synthetic_batch,
                                            warm_start_ip_projections)
 
-    batch_size = args.batch if args.batch != 4 else 2  # reference default
+    batch_size = args.batch  # resolved in main(): explicit value or 2
     bundle = SD15Bundle(
         unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
         adapter_config=AdapterConfig(),
@@ -256,7 +282,10 @@ def bench_train(args):
 
 
 def bench_sdxl(args):
-    """SDXL 1024px CFG denoise step time (per UNet-pair step, in-scan)."""
+    """SDXL 1024px whole-pipeline throughput (images/min/chip) with the same
+    double-buffered methodology as the SD1.5 bench (generate_async pipelines
+    fetch i against device work i+1), plus the CFG denoise step time
+    (two-step-count subtraction isolates the in-scan UNet pair)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -269,20 +298,25 @@ def bench_sdxl(args):
     from consistentid_tpu.pipelines.consistentid_sdxl import \
         ConsistentIDXLPipeline
     from consistentid_tpu.core.config import sdxl_unet_config
-    from consistentid_tpu.conditioning import SimpleTokenizer
+    from consistentid_tpu.core.config import VAEConfig
+    from consistentid_tpu.testing import synthetic_clip_tokenizer
     from PIL import Image
 
+    if args.batch is None:
+        args.batch = 1  # 1024px SDXL: single-image latency is the config
     bundle = SDXLBundle(
         unet_config=sdxl_unet_config(lora_rank=128, ip_num_tokens=4),
         adapter_config=sdxl_adapter_config(),
+        vae_config=VAEConfig(scaling_factor=0.13025, force_upcast=True),
         dtype=jnp.bfloat16,
     )
     params = bundle.fast_random_params(jax.random.PRNGKey(0))
     steps_a, steps_b = 10, 30
     pipe = ConsistentIDXLPipeline(
-        bundle, params, SimpleTokenizer(),
+        bundle, params, synthetic_clip_tokenizer(),
+        tokenizer_2=synthetic_clip_tokenizer(pad_token="!"),
         pipeline_config=PipelineConfig(height=1024, width=1024,
-                                       num_inference_steps=steps_b,
+                                       num_inference_steps=args.steps,
                                        guidance_scale=7.5,
                                        start_merge_step=30))
     face = Image.fromarray(
@@ -291,12 +325,33 @@ def bench_sdxl(args):
     labels[100:400, 100:400] = 1
     labels[250:300, 230:290] = 10
     kw = dict(parsing_labels=labels,
-              faceid_embeds=np.zeros((1, 512), np.float32))
+              faceid_embeds=np.zeros((1, 512), np.float32),
+              num_images_per_prompt=args.batch)
+    prompt = "portrait photo of a man with a strong face"
 
+    # -- whole-pipeline throughput, double-buffered at args.steps --
+    out = pipe.generate(prompt, face, seed=0, **kw)  # compile
+    assert np.isfinite(out.astype(np.float32)).all()
+    t0 = time.perf_counter()
+    pending = None
+    for i in range(args.iters):
+        nxt = pipe.generate_async(prompt, face, seed=i + 1, **kw)
+        if pending is not None:
+            pending()
+        pending = nxt
+    final = pending()
+    dt = (time.perf_counter() - t0) / args.iters
+    assert np.isfinite(final.astype(np.float32)).all()
+    images_per_min = 60.0 * args.batch / dt
+    # snapshot cost analysis NOW: _last_core_args still points at the
+    # args.steps graph the throughput loop measured
+    ca = pipe.last_cost_analysis() or {}
+    step_flops = pipe.step_flops() or 0.0
+
+    # -- isolated denoise step time (two step counts, varied seeds) --
     def run(n, seed):
         t0 = time.perf_counter()
-        pipe.generate("portrait photo of a man with a strong face", face,
-                      seed=seed, num_inference_steps=n, **kw)
+        pipe.generate(prompt, face, seed=seed, num_inference_steps=n, **kw)
         return time.perf_counter() - t0
 
     run(steps_a, 0)  # compile both step counts
@@ -304,24 +359,31 @@ def bench_sdxl(args):
     ta = min(run(steps_a, i + 1) for i in range(args.iters))
     tb = min(run(steps_b, i + 1) for i in range(args.iters))
     step_time = (tb - ta) / (steps_b - steps_a)
-    # no published reference number; target heuristic: <=0.25 s/step at
-    # 1024px CFG on one v5e chip
+
+    # no published reference number; north-star heuristic: 2 img/min at
+    # 1024px 50 steps on one v5e chip (mirrors BASELINE's SDXL row)
     rec = {
-        "metric": "SDXL 1024px CFG denoise step time",
-        "value": round(step_time, 4),
-        "unit": "s/step",
-        "vs_baseline": round(0.25 / max(step_time, 1e-9), 3),
+        "metric": f"SDXL 1024px {args.steps}-step ConsistentID "
+                  f"images/min/chip (batch {args.batch})",
+        "value": round(images_per_min, 3),
+        "unit": "images/min",
+        "vs_baseline": round(images_per_min / 2.0, 3),
+        "step_time_s": round(step_time, 4),
     }
-    # per-step flops from a single lowered UNet pair call — matches what
-    # step_time isolates (the denoise loop, not encode/decode)
+    # whole-pipeline MFU like the SD1.5 record: scan body counted once by
+    # XLA cost analysis, denoise loop = step_flops * (steps - 1) on top
     from consistentid_tpu.utils.profiling import device_peak_tflops, mfu
-    step_flops = pipe.step_flops() or 0.0
-    if step_flops > 0:
-        rec["achieved_tflops"] = round(step_flops / step_time / 1e12, 2)
-        m = mfu(step_flops, step_time)
+    flops = float(ca.get("flops", 0.0)) + step_flops * (args.steps - 1)
+    if flops:
+        rec["achieved_tflops"] = round(flops / dt / 1e12, 2)
+        m = mfu(flops, dt)
         if m is not None:
             rec["mfu"] = round(m, 4)
             rec["peak_tflops"] = device_peak_tflops()
+    if step_flops > 0:
+        sm = mfu(step_flops, step_time)
+        if sm is not None:
+            rec["step_mfu"] = round(sm, 4)
     rec["device"] = jax.devices()[0].device_kind
     print(json.dumps(rec))
 

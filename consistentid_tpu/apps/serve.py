@@ -85,10 +85,16 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def warmup(self, image_size: int = 64):
+    def warmup(self, image_size: int = None):
         """Compile every bucket's graph up front so no live request ever
         waits on XLA (first compiles take tens of seconds through a remote
-        tunnel). Idempotent; uses the persistent compile cache."""
+        tunnel). Idempotent; uses the persistent compile cache.
+
+        image_size defaults to the pipeline's configured height so the
+        warmed graphs match the serving config without the caller having
+        to thread the dimension through."""
+        if image_size is None:
+            image_size = self.pipeline.config.height
         dummy = Image.fromarray(
             np.full((image_size, image_size, 3), 127, np.uint8))
         for b in self.buckets:

@@ -16,7 +16,11 @@ import argparse
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--base", required=True, help="diffusers SD1.5 dir")
+    p.add_argument("--base", default=None,
+                   help="diffusers SD1.5 dir (required unless --tiny)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random-weight bundle (tests/smoke): skips "
+                        "--base weight loading and shrinks every tower")
     p.add_argument("--image-encoder", default=None)
     p.add_argument("--manifest", required=True, help="FGID JSON_all.json")
     p.add_argument("--data-root", default="")
@@ -96,28 +100,42 @@ def main(argv=None):
         remat_unet=args.remat != "none",
         remat_policy="dots" if args.remat == "dots" else "full")
 
-    bundle = SD15Bundle(
-        unet_config=sd15_unet_config(lora_rank=args.lora_rank,
-                                     ip_num_tokens=args.num_tokens),
-        adapter_config=AdapterConfig(lora_rank=args.lora_rank,
-                                     num_id_tokens=args.num_tokens),
-        dtype=jax.numpy.bfloat16 if args.dtype == "bf16"
-        else jax.numpy.float32,
-        remat=config.remat_unet, remat_policy=config.remat_policy)
-    params = bundle.init_params(jax.random.PRNGKey(config.seed))
-    import os
-    params["unet"].update(unet_from_diffusers(
-        read_checkpoint(os.path.join(args.base, "unet")),
-        bundle.unet_config))
-    params["unet"] = warm_start_ip_projections(params["unet"])
-    params["vae"] = vae_from_diffusers(
-        read_checkpoint(os.path.join(args.base, "vae")), bundle.vae_config)
-    params["text_encoder"] = clip_text_from_hf(
-        read_checkpoint(os.path.join(args.base, "text_encoder")),
-        bundle.text_config)
-    if args.image_encoder:
-        params["image_encoder"] = clip_vision_from_hf(
-            read_checkpoint(args.image_encoder), bundle.vision_config)
+    if args.tiny:
+        import dataclasses as _dc
+
+        from ..testing import tiny_bundle
+        bundle = _dc.replace(
+            tiny_bundle(),
+            dtype=jax.numpy.bfloat16 if args.dtype == "bf16"
+            else jax.numpy.float32,
+            remat=config.remat_unet, remat_policy=config.remat_policy)
+        params = bundle.init_params(jax.random.PRNGKey(config.seed))
+        params["unet"] = warm_start_ip_projections(params["unet"])
+    else:
+        assert args.base, "--base is required unless --tiny"
+        bundle = SD15Bundle(
+            unet_config=sd15_unet_config(lora_rank=args.lora_rank,
+                                         ip_num_tokens=args.num_tokens),
+            adapter_config=AdapterConfig(lora_rank=args.lora_rank,
+                                         num_id_tokens=args.num_tokens),
+            dtype=jax.numpy.bfloat16 if args.dtype == "bf16"
+            else jax.numpy.float32,
+            remat=config.remat_unet, remat_policy=config.remat_policy)
+        params = bundle.init_params(jax.random.PRNGKey(config.seed))
+        import os
+        params["unet"].update(unet_from_diffusers(
+            read_checkpoint(os.path.join(args.base, "unet")),
+            bundle.unet_config))
+        params["unet"] = warm_start_ip_projections(params["unet"])
+        params["vae"] = vae_from_diffusers(
+            read_checkpoint(os.path.join(args.base, "vae")),
+            bundle.vae_config)
+        params["text_encoder"] = clip_text_from_hf(
+            read_checkpoint(os.path.join(args.base, "text_encoder")),
+            bundle.text_config)
+        if args.image_encoder:
+            params["image_encoder"] = clip_vision_from_hf(
+                read_checkpoint(args.image_encoder), bundle.vision_config)
 
     if args.tokenizer:
         from transformers import CLIPTokenizer
@@ -140,7 +158,9 @@ def main(argv=None):
         step_fn = make_train_step(bundle, schedule, config, mesh=mesh)
 
     dataset = FGIDDataset(args.manifest, tokenizer, size=args.resolution,
-                          image_root=args.data_root, seed=config.seed)
+                          image_root=args.data_root, seed=config.seed,
+                          clip_size=bundle.vision_config.image_size,
+                          id_dim=bundle.adapter_config.id_embeddings_dim)
     logger = MetricsLogger(args.output_dir)
     timer = StepTimer()
     rng = jax.random.PRNGKey(config.seed)
@@ -198,6 +218,25 @@ def main(argv=None):
             logger.log(step, {**scalar, **timer.summary()})
         if step // config.save_steps > prev // config.save_steps:
             ckpt.save(state)
+
+    # flush batches still pending a multi-step dispatch (dataset/epoch end
+    # or the max_steps break left fewer than steps-per-call): run them
+    # through a single-step fallback so trailing data always trains
+    if pending and step < config.max_steps:
+        single_step = make_train_step(bundle, schedule, config, mesh=mesh)
+        for b in pending:
+            if step >= config.max_steps:
+                break
+            b = shard_batch(mesh, b,
+                            batch_dim=1 if config.grad_accum_steps > 1
+                            else 0)
+            state, metrics = single_step(state, b,
+                                         jax.random.fold_in(rng, step))
+            last_loss = float(
+                jax.tree_util.tree_leaves(metrics["loss"])[0]
+                .reshape(-1)[-1])
+            step = int(state.step)
+        logger.log(step, {"loss": last_loss, "flushed_pending": len(pending)})
     ckpt.save(state)
     logger.close()
 

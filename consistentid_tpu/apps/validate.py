@@ -186,6 +186,65 @@ def synthesize(outdir: str) -> Dict[str, str]:
                exp.scrfd_to_torch(v["params"], v["batch_stats"], det_cfg))
     paths["scrfd"] = os.path.join(outdir, "scrfd.pt")
 
+    # diffusers safety_checker/ layout (VERDICT r2 item 7): tiny CLIP tower
+    # + projection + concept banks through safety_checker_to_hf
+    from ..models.safety_checker import SafetyChecker
+    sc = SafetyChecker(vision_config=bundle.vision_config,
+                       projection_dim=16, num_concepts=3, num_special=2)
+    v = sc.init(jax.random.PRNGKey(5),
+                jnp.zeros((1, bundle.vision_config.image_size,
+                           bundle.vision_config.image_size, 3)))
+    save_st("sd15/safety_checker/model.safetensors",
+            exp.safety_checker_to_hf(v["params"], bundle.vision_config))
+    import json as _json
+    vc = bundle.vision_config
+    with open(os.path.join(outdir, "sd15", "safety_checker",
+                           "config.json"), "w") as f:
+        _json.dump({"vision_config": {
+            "image_size": vc.image_size, "patch_size": vc.patch_size,
+            "hidden_size": vc.hidden_size,
+            "intermediate_size": vc.intermediate_size,
+            "num_hidden_layers": vc.num_layers,
+            "num_attention_heads": vc.num_heads,
+            "hidden_act": vc.hidden_act}}, f)
+    paths["safety_checker"] = os.path.join(outdir, "sd15", "safety_checker")
+
+    # ONNX-format ArcFace twin: same tensors as arcface.pt but through the
+    # ONNX initializer reader (the insightface-pack load path)
+    from ..io.onnx_reader import write_onnx_initializers
+    ir = IResNet(layers=(1, 1, 1, 1), embedding_dim=a.id_embeddings_dim,
+                 input_size=32)
+    vv = ir.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))
+    write_onnx_initializers(
+        os.path.join(outdir, "arcface.onnx"),
+        exp.iresnet_to_torch(vv["params"], vv["batch_stats"],
+                             layers=(1, 1, 1, 1), spatial=2))
+    paths["arcface_onnx"] = os.path.join(outdir, "arcface.onnx")
+
+    # synthetic universal BPE vocab so the tokenizer load path resolves to
+    # CLIPBPETokenizer (pipelines/loading.py production default)
+    import json as _json
+
+    from ..conditioning.clip_tokenizer import bytes_to_unicode
+    syms = list(bytes_to_unicode().values())
+    toks = (syms + [s + "</w>" for s in syms]
+            + ["<|startoftext|>", "<|endoftext|>"])
+    vocab_json = _json.dumps(
+        {t: i for i, t in enumerate(dict.fromkeys(toks))})
+    for rel, tok_cfg in (("sd15/tokenizer", None),
+                         ("sdxl/tokenizer", None),
+                         ("sdxl/tokenizer_2", {"pad_token": "!"})):
+        tok_dir = os.path.join(outdir, rel)
+        os.makedirs(tok_dir, exist_ok=True)
+        with open(os.path.join(tok_dir, "vocab.json"), "w") as f:
+            f.write(vocab_json)
+        with open(os.path.join(tok_dir, "merges.txt"), "w") as f:
+            f.write("#version: 0.2\n")
+        if tok_cfg:
+            with open(os.path.join(tok_dir, "tokenizer_config.json"),
+                      "w") as f:
+                _json.dump(tok_cfg, f)
+
     # CLIP-T projection heads into a shared space (HF CLIPModel layout:
     # (shared, D) torch linear weights)
     rng = np.random.RandomState(4)
@@ -211,6 +270,15 @@ def build_parser():
     p.add_argument("--bisenet", help="face_parsing.pth")
     p.add_argument("--arcface", help="w600k_r50.onnx / .pt")
     p.add_argument("--scrfd", help="det_10g.onnx / .pt")
+    p.add_argument("--arcface-onnx",
+                   help="ONNX-format ArcFace pack (exercises the ONNX "
+                        "initializer reader; --synthesize fabricates one)")
+    p.add_argument("--safety-checker",
+                   help="diffusers safety_checker/ dump dir")
+    p.add_argument("--sweep", type=int, metavar="N", default=0,
+                   help="run an N-row scored FGIS sweep (FaceSim + CLIP-T) "
+                        "through eval.runner after the pipeline stage; "
+                        "apps/eval_sweep.py runs the full 15x45 protocol")
     p.add_argument("--clip-projections",
                    help="CLIP model file with text_projection.weight / "
                         "visual_projection.weight (for CLIP-T)")
@@ -340,6 +408,16 @@ def main(argv=None) -> int:
           ignore=ignore_bn)
     stage("scrfd", args.scrfd, lambda sd: convert.scrfd_from_torch(sd)[:2],
           ignore=ignore_bn)
+    stage("arcface_onnx", args.arcface_onnx, convert.iresnet_from_torch,
+          ignore=ignore_bn)
+    if args.safety_checker:
+        from ..io.convert_backbones import safety_checker_from_hf
+        from ..models.safety_checker import SafetyChecker
+        sc_cfg = (bundle.vision_config if tiny
+                  else SafetyChecker().vision_config)
+        stage("safety_checker", args.safety_checker,
+              lambda sd: safety_checker_from_hf(sd, sc_cfg),
+              ignore=("position_ids",))
 
     files_ok = all(e.get("ok") for e in report["files"].values())
 
@@ -435,8 +513,41 @@ def main(argv=None) -> int:
             except Exception as e:
                 report["metrics"]["clip_t_error"] = str(e)
 
+        if args.sweep > 0:
+            print(f"stage 4: scored FGIS sweep ({args.sweep} rows)")
+            import tempfile
+
+            from ..eval.metrics import FaceSimScorer
+            from ..eval.runner import SweepRow, run_sweep
+            from ..eval.styles import STYLES
+            try:
+                styles = list(STYLES)[:4] or [None]
+                rows = [SweepRow("id0.png",
+                                 f"a man with a face, variation {i}",
+                                 style=styles[i % len(styles)])
+                        for i in range(args.sweep)]
+                with tempfile.TemporaryDirectory() as td:
+                    face.save(os.path.join(td, "id0.png"))
+                    sweep_out = os.path.join(td, "out")
+                    res = run_sweep(
+                        pipe, rows, td, output_dir=sweep_out,
+                        face_sim_scorer=(
+                            FaceSimScorer(pipe.face_embedder)
+                            if pipe.face_embedder else None),
+                        batch_size=min(4, args.sweep))
+                    with open(os.path.join(
+                            sweep_out, "results_shard0.json")) as f:
+                        json.load(f)  # report JSON must be well-formed
+                report["metrics"]["sweep"] = res.summary()
+                report["metrics"]["sweep_rows"] = len(res.rows)
+                print(f"  sweep: {len(res.rows)} rows, {res.summary()}")
+            except Exception as e:
+                report["metrics"]["sweep_error"] = f"{type(e).__name__}: {e}"
+                print(f"  [FAIL] sweep: {e}")
+
     pipes_ok = all(e.get("ok") for e in report["pipelines"].values())
-    report["ok"] = bool(files_ok and pipes_ok)
+    report["ok"] = bool(files_ok and pipes_ok
+                        and "sweep_error" not in report["metrics"])
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"report: {args.out}  ok={report['ok']}")

@@ -80,7 +80,7 @@ class CLIPBPETokenizer:
     convert_tokens_to_ids/model_max_length/pad_token_id."""
 
     def __init__(self, vocab: Dict[str, int], merges: List[str],
-                 model_max_length: int = 77):
+                 model_max_length: int = 77, pad_token: str = None):
         self.encoder = dict(vocab)
         self.decoder = {v: k for k, v in self.encoder.items()}
         self.byte_encoder = bytes_to_unicode()
@@ -91,17 +91,31 @@ class CLIPBPETokenizer:
         self.model_max_length = model_max_length
         self.bos_token_id = self.encoder["<|startoftext|>"]
         self.eos_token_id = self.encoder["<|endoftext|>"]
-        self.pad_token_id = self.eos_token_id  # CLIP pads with eos
+        # CLIP-L pads with eos; SDXL's tokenizer_2 (OpenCLIP bigG) pads
+        # with "!" id 0 — its dumps declare pad_token in tokenizer_config
+        # (reference SDXL pipeline :378-385 relies on those semantics)
+        self.pad_token_id = (self.encoder[pad_token] if pad_token is not None
+                             else self.eos_token_id)
         self.unk_token_id = self.eos_token_id
         self._added: Dict[str, int] = {}
         self._added_re = None
+        self._special_verbatim: Dict[str, int] = {}
+        if pad_token is not None and pad_token in self.encoder:
+            # HF registers a declared pad token as a special token: it is
+            # split verbatim from text (no </w> word-end form) and maps to
+            # its bare vocab id — e.g. a literal "!" in an SDXL prompt
+            # encodes as id 0 through tokenizer_2
+            self._special_verbatim[pad_token] = self.encoder[pad_token]
+            self._rebuild_added_re()
 
     # -- construction ---------------------------------------------------
 
     @classmethod
     def from_pretrained(cls, path: str, model_max_length: int = 77):
         """path: a diffusers `tokenizer/` dump (vocab.json + merges.txt)
-        or a directory containing one."""
+        or a directory containing one. Honors a pad_token declared in the
+        dump's tokenizer_config.json / special_tokens_map.json (SDXL's
+        tokenizer_2 pads with "!" rather than eos)."""
         if os.path.isdir(os.path.join(path, "tokenizer")):
             path = os.path.join(path, "tokenizer")
         with open(os.path.join(path, "vocab.json"), encoding="utf-8") as f:
@@ -109,7 +123,18 @@ class CLIPBPETokenizer:
         with open(os.path.join(path, "merges.txt"), encoding="utf-8") as f:
             # first line is the "#version" header; HF caps the merge count
             merges = f.read().strip().split("\n")[1: 49152 - 256 - 2 + 1]
-        return cls(vocab, merges, model_max_length=model_max_length)
+        pad_token = None
+        for cfg_name in ("tokenizer_config.json", "special_tokens_map.json"):
+            cfg_path = os.path.join(path, cfg_name)
+            if pad_token is None and os.path.isfile(cfg_path):
+                with open(cfg_path, encoding="utf-8") as f:
+                    declared = json.load(f).get("pad_token")
+                if isinstance(declared, dict):  # AddedToken serialization
+                    declared = declared.get("content")
+                if declared in vocab:
+                    pad_token = declared
+        return cls(vocab, merges, model_max_length=model_max_length,
+                   pad_token=pad_token)
 
     @property
     def vocab_size(self) -> int:
@@ -117,16 +142,19 @@ class CLIPBPETokenizer:
 
     # -- added tokens (the <|image|>/<|facial|> triggers) ----------------
 
+    def _rebuild_added_re(self):
+        split = {**self._special_verbatim, **self._added}
+        self._added_re = re.compile("|".join(
+            re.escape(t) for t in sorted(split, key=len,
+                                         reverse=True))) if split else None
+
     def add_tokens(self, tokens: List[str]) -> int:
         added = 0
         for t in tokens:
             if t not in self._added and t not in self.encoder:
                 self._added[t] = len(self.encoder) + len(self._added)
                 added += 1
-        if self._added:
-            self._added_re = re.compile("|".join(
-                re.escape(t) for t in sorted(self._added, key=len,
-                                             reverse=True)))
+        self._rebuild_added_re()
         return added
 
     def convert_tokens_to_ids(self, token: str) -> int:
@@ -186,7 +214,7 @@ class CLIPBPETokenizer:
     # -- public API -------------------------------------------------------
 
     def tokenize(self, text: str) -> List[str]:
-        if not self._added:
+        if self._added_re is None:
             return self._tokenize(text)
         pieces, pos = [], 0
         for m in self._added_re.finditer(text):

@@ -210,7 +210,7 @@ class PipelineConfig:
     num_inference_steps: int = 50
     guidance_scale: float = 5.0
     start_merge_step: int = 30          # reference infer.py:48-49
-    scheduler: str = "ddim"             # ddim | euler | ddpm
+    scheduler: str = "ddim"     # ddim | euler | ddpm | dpmpp_2m | pndm
     max_text_len: int = 77
 
 

@@ -232,7 +232,9 @@ def safety_checker_from_hf(sd: Mapping[str, np.ndarray],
     concept/special-care embedding banks with their thresholds) ->
     models.safety_checker.SafetyChecker params
     (reference pipline_StableDiffusion_ConsistentID.py:586-594)."""
-    inner = {k[len("vision_model."):]: v for k, v in sd.items()
+    # index via sd[k] (not .items()) so consumption-recording wrappers see
+    # every vision-tower key (apps/validate unconsumed-key detection)
+    inner = {k[len("vision_model."):]: sd[k] for k in sd
              if k.startswith("vision_model.")}
     return {
         "vision_model": clip_vision_from_hf(inner, cfg),

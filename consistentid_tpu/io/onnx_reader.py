@@ -115,3 +115,53 @@ def read_onnx_initializers(path: str) -> Dict[str, np.ndarray]:
                     name, arr = _parse_tensor(gval)
                     out[name] = arr
     return out
+
+
+# -- writer (synthesis/testing) ----------------------------------------------
+
+_DTYPE_CODES = {np.dtype(np.float32): 1, np.dtype(np.uint8): 2,
+                np.dtype(np.int8): 3, np.dtype(np.int32): 6,
+                np.dtype(np.int64): 7, np.dtype(np.float16): 10,
+                np.dtype(np.float64): 11}
+
+
+def _varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b7 | 0x80])
+        else:
+            return out + bytes([b7])
+
+
+def _field(num: int, wire: int, payload: bytes) -> bytes:
+    tag = _varint((num << 3) | wire)
+    if wire == 2:
+        return tag + _varint(len(payload)) + payload
+    return tag + payload
+
+
+def write_onnx_initializers(path: str, tensors: Dict[str, np.ndarray]) -> None:
+    """Write {name: ndarray} as a minimal ModelProto whose graph carries the
+    tensors as initializers — the inverse of read_onnx_initializers. Used to
+    fabricate insightface-pack-shaped .onnx files (apps/validate
+    --synthesize) so the ONNX read path is exercised end-to-end without
+    onnx/onnxruntime installed."""
+    graph = b""
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        code = _DTYPE_CODES.get(arr.dtype)
+        if code is None:
+            arr = arr.astype(np.float32)
+            code = 1
+        msg = b""
+        for d in arr.shape:
+            msg += _field(1, 0, _varint(d))
+        msg += _field(2, 0, _varint(code))
+        msg += _field(8, 2, name.encode("utf-8"))
+        msg += _field(9, 2, arr.tobytes())
+        graph += _field(5, 2, msg)
+    with open(path, "wb") as f:
+        f.write(_field(7, 2, graph))

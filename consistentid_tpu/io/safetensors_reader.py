@@ -58,4 +58,8 @@ def read_checkpoint(path: str) -> Dict[str, np.ndarray]:
         return merged
     if path.endswith(".safetensors"):
         return read_safetensors(path)
+    if path.endswith(".onnx"):
+        # insightface packs (SCRFD / ArcFace) ship as ONNX graphs
+        from .onnx_reader import read_onnx_initializers
+        return read_onnx_initializers(path)
     return read_torch_bin(path)

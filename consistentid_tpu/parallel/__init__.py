@@ -1,1 +1,2 @@
-from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated, shard_batch
+from .mesh import (DATA_AXIS, MODEL_AXIS, data_sharding,
+                   initialize_multihost, make_mesh, replicated, shard_batch)

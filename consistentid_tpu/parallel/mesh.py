@@ -38,15 +38,16 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                       num_processes=num_processes, process_id=process_id)
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:
-        # benign only when the runtime already initialized the cluster
-        if "already initialized" not in str(e).lower():
-            raise
-    except ValueError as e:
-        if coordinator_address is not None:
+    except (RuntimeError, ValueError) as e:
+        benign = "already initialized" in str(e).lower()
+        if coordinator_address is not None and not benign:
             raise  # explicit cluster config that failed must not be hidden
-        warnings.warn(
-            f"jax.distributed.initialize skipped (single-host run?): {e}")
+        if not benign:
+            # auto-detect path: single-host runs (no cluster env) and
+            # processes where the XLA backend is already live (e.g. a test
+            # harness that touched jax.devices first) both land here
+            warnings.warn(
+                f"jax.distributed.initialize skipped (single-host run?): {e}")
 
 
 def make_mesh(

@@ -104,23 +104,30 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
         enc_negative, pooled_negative = self._encode_dual(
             params, cond["negative_ids"], cond["negative_ids2"])
 
+        # one batched ViT forward over stacked requests, mirroring the
+        # SD1.5 path (consistentid_sd15.py:353-367): [face x B, zeros,
+        # regions x B*5] — request batches (generate_batch/serving) work
+        # identically on the 2048-d path
         size = b.vision_config.image_size
-        regions = cond["region_pixels"][0]
+        bs, n_regions = cond["region_pixels"].shape[:2]
+        regions = cond["region_pixels"].reshape(-1, size, size, 3)
         vit_in = jnp.concatenate(
             [cond["face_pixels"],
              jnp.zeros((1, size, size, 3), cond["face_pixels"].dtype),
              regions], axis=0)
         _, penult = b.image_encoder.apply(
             {"params": params["image_encoder"]}, vit_in)
-        face_emb, zero_emb = penult[0:1], penult[1:2]
-        region_embs = penult[2:][None]
+        face_emb, zero_emb = penult[:bs], penult[bs:bs + 1]
+        region_embs = penult[bs + 1:].reshape(
+            bs, n_regions, *penult.shape[1:])
         zero_regions = jnp.broadcast_to(zero_emb[:, None], region_embs.shape)
 
         proj_apply = functools.partial(b.proj.apply, {"params": params["proj"]})
         faceid_tokens = proj_apply(cond["faceid_embeds"], face_emb,
                                    shortcut=a.shortcut, scale=a.shortcut_scale)
+        zero_emb_b = jnp.broadcast_to(zero_emb, (bs, *zero_emb.shape[1:]))
         uncond_faceid_tokens = proj_apply(
-            jnp.zeros_like(cond["faceid_embeds"]), zero_emb,
+            jnp.zeros_like(cond["faceid_embeds"]), zero_emb_b,
             shortcut=a.shortcut, scale=a.shortcut_scale)
 
         fe_apply = functools.partial(b.facial_encoder.apply,

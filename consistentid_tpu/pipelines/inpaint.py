@@ -129,7 +129,8 @@ class ConsistentIDInpaintPipeline(ConsistentIDPipeline):
                  start_merge_step: Optional[int] = None,
                  scheduler: Optional[str] = None, ip_scale: float = 1.0,
                  lora_scale: float = 1.0, parsing_labels=None,
-                 faceid_embeds=None, **extra) -> np.ndarray:
+                 faceid_embeds=None, return_device: bool = False,
+                 **extra) -> np.ndarray:
         cfg = self.config
         height = height or cfg.height
         width = width or cfg.width
@@ -165,9 +166,22 @@ class ConsistentIDInpaintPipeline(ConsistentIDPipeline):
             num_steps, scheduler, jnp.float32(ip_scale),
             jnp.float32(lora_scale), float(strength),
             jax.random.fold_in(rng, 1), jax.random.fold_in(rng, 2))
+        if return_device:
+            # device float images in [-1,1], the contract generate_async's
+            # uint8 quantization relies on (consistentid_sd15.py:501-509)
+            return images
         return self._postprocess(images)
 
+    def generate_batch(self, *args, **kwargs):
+        raise NotImplementedError(
+            "batched inpainting is not supported; the inherited text-to-image "
+            "batch path would silently ignore init_image/mask_image — call "
+            "generate() per image (generate_async overlaps them)")
+
     def _extra_cond(self, cond, height, width, **extra):
+        if extra:
+            raise TypeError(
+                f"unknown generate() arguments: {sorted(extra)}")
         return {}
 
 
@@ -193,6 +207,9 @@ class ConsistentIDControlNetInpaintPipeline(ConsistentIDInpaintPipeline):
         self.guess_mode = guess_mode
 
     def _extra_cond(self, cond, height, width, control_image=None, **extra):
+        if extra:
+            raise TypeError(
+                f"unknown generate() arguments: {sorted(extra)}")
         assert control_image is not None, "pass control_image=PIL"
         return {"control_image":
                 jnp.asarray(sd_image_preprocess(control_image, height, width)

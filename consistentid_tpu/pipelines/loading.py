@@ -80,6 +80,32 @@ def _default_tokenizer(base_dir: str, subfolder: str = "tokenizer"):
     return SimpleTokenizer()
 
 
+def _safety_checker_vision_config(sc_dir: str):
+    """Vision-tower config of a diffusers safety_checker/ dump: read the
+    shipped config.json (CLIPConfig schema, vision_config subsection) when
+    present; fall back to the stock SD1.5 checker tower otherwise."""
+    import json
+
+    from ..core.config import CLIPVisionConfig
+    from ..models.safety_checker import SafetyChecker
+
+    cfg = SafetyChecker().vision_config
+    cfg_path = os.path.join(sc_dir, "config.json")
+    if os.path.isfile(cfg_path):
+        with open(cfg_path, encoding="utf-8") as f:
+            vc = json.load(f).get("vision_config", {})
+        cfg = CLIPVisionConfig(
+            image_size=vc.get("image_size", cfg.image_size),
+            patch_size=vc.get("patch_size", cfg.patch_size),
+            hidden_size=vc.get("hidden_size", cfg.hidden_size),
+            intermediate_size=vc.get("intermediate_size",
+                                     cfg.intermediate_size),
+            num_layers=vc.get("num_hidden_layers", cfg.num_layers),
+            num_heads=vc.get("num_attention_heads", cfg.num_heads),
+            hidden_act=vc.get("hidden_act", cfg.hidden_act))
+    return cfg
+
+
 def load_face_stack(bisenet_path=None, arcface_path=None, scrfd_path=None,
                     det_size: int = 640, allow_center_crop: bool = False):
     """(face_parser, face_embedder) hooks from local checkpoint files —
@@ -163,7 +189,7 @@ def load_sd15_consistentid(
     if with_safety_checker and os.path.isdir(sc_dir):
         from ..io.convert_backbones import safety_checker_from_hf
         from ..models.safety_checker import SafetyChecker, make_safety_checker
-        sc_cfg = SafetyChecker().vision_config
+        sc_cfg = _safety_checker_vision_config(sc_dir)
         safety_checker = make_safety_checker(
             safety_checker_from_hf(read_checkpoint(sc_dir), sc_cfg),
             vision_config=sc_cfg)

@@ -84,3 +84,20 @@ def tiny_bundle():
                                        hidden_size=32, intermediate_size=64,
                                        num_layers=2, num_heads=2),
     )
+
+
+def synthetic_clip_tokenizer(pad_token: str = None):
+    """CLIPBPETokenizer over a universal byte-level vocab (full byte
+    alphabet + </w> word-end forms, no merges): encodes ANY text, so
+    benches and tests drive the production BPE tokenizer code path
+    (pipelines/loading.py's default) even where no real vocab.json exists
+    (zero-egress environments). Token ids do NOT match the real CLIP vocab
+    — use only where ids are opaque (random-weight benches)."""
+    from consistentid_tpu.conditioning import CLIPBPETokenizer
+    from consistentid_tpu.conditioning.clip_tokenizer import bytes_to_unicode
+
+    syms = list(bytes_to_unicode().values())
+    tokens = (syms + [s + "</w>" for s in syms]
+              + ["<|startoftext|>", "<|endoftext|>"])
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(tokens))}
+    return CLIPBPETokenizer(vocab, [], pad_token=pad_token)

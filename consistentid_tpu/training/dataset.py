@@ -38,7 +38,8 @@ class FGIDDataset:
     def __init__(self, manifest_path: str, tokenizer, size: int = 512,
                  clip_size: int = 224, image_root: str = "",
                  max_num_facials: int = 5, text_drop_prob: float = 0.1,
-                 image_drop_prob: float = 0.1, seed: int = 0):
+                 image_drop_prob: float = 0.1, seed: int = 0,
+                 id_dim: int = 512):
         with open(manifest_path) as f:
             data = json.load(f)
         self.items = list(data.values()) if isinstance(data, dict) else data
@@ -52,6 +53,7 @@ class FGIDDataset:
         self.max_num_facials = max_num_facials
         self.text_drop_prob = text_drop_prob
         self.image_drop_prob = image_drop_prob
+        self.id_dim = id_dim
         self.rng = random.Random(seed)
 
     def __len__(self):
@@ -82,10 +84,10 @@ class FGIDDataset:
         item = self.items[i]
         image = Image.open(self._path(item["image_path"])).convert("RGB")
         parsing = np.array(Image.open(self._path(item["parsing_mask_path"])))
-        faceid = np.zeros((512,), np.float32)
+        faceid = np.zeros((self.id_dim,), np.float32)
         fp = item.get("faceid_path")
         if fp and os.path.exists(self._path(fp)):
-            faceid = np.fromfile(self._path(fp), np.float32)[:512]
+            faceid = np.fromfile(self._path(fp), np.float32)[:self.id_dim]
 
         caption = item.get("vqa_llva", "")
         detail = item.get("vqa_llva_more_face_detail", "")

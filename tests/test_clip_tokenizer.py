@@ -124,3 +124,66 @@ def test_call_interface_padding(pair):
     assert ids.shape == (1, 16)
     assert ids[0, 0] == ours.bos_token_id
     assert (ids[0] == ours.pad_token_id).sum() >= 1
+
+
+# -- SDXL tokenizer_2 pad semantics (VERDICT r2 item 2) ----------------------
+# HF SDXL dumps declare pad_token "!" (id 0) for tokenizer_2 (OpenCLIP bigG)
+# in tokenizer_config.json, unlike tokenizer's eos padding. The marker-index
+# contract on the 2048-d path runs through these padded ids
+# (reference pipline_StableDiffusionXL_ConsistentID.py:378-385).
+
+@pytest.fixture(scope="module")
+def pair2(tok_files, tmp_path_factory):
+    import shutil
+
+    vocab_file, merges_file, d = tok_files
+    d2 = tmp_path_factory.mktemp("clip_tok2")
+    shutil.copy(vocab_file, d2 / "vocab.json")
+    shutil.copy(merges_file, d2 / "merges.txt")
+    (d2 / "tokenizer_config.json").write_text(
+        json.dumps({"pad_token": "!", "model_max_length": 77}),
+        encoding="utf-8")
+    hf = transformers.CLIPTokenizer(vocab_file, merges_file,
+                                    model_max_length=77, pad_token="!")
+    hf.add_tokens(["<|image|>", "<|facial|>"])
+    ours = CLIPBPETokenizer.from_pretrained(str(d2))
+    ours.add_tokens(["<|image|>", "<|facial|>"])
+    return hf, ours
+
+
+def test_tokenizer2_pad_token_from_config(pair2):
+    hf, ours = pair2
+    assert ours.pad_token_id == hf.pad_token_id
+    assert ours.pad_token_id != ours.eos_token_id  # "!" padding, not eos
+
+
+@pytest.mark.parametrize("text", CORPUS)
+def test_tokenizer2_padded_parity(pair2, text):
+    hf, ours = pair2
+    theirs = hf(text, max_length=77, padding="max_length", truncation=True,
+                return_tensors="np")["input_ids"][0].tolist()
+    mine = ours(text, max_length=77, padding="max_length", truncation=True,
+                return_tensors="np")["input_ids"][0].tolist()
+    assert mine == theirs, text
+
+
+def test_tokenizer2_marker_contract_with_pad(pair2):
+    """The SDXL clean_ids2 path (tokenize_and_mask_trigger_ends with
+    tokenizer_2) must agree with transformers including the "!"-padded
+    tail, so facial_idx gathered on the 2048-d stream stays aligned."""
+    from consistentid_tpu.conditioning import tokenize_and_mask_trigger_ends
+
+    hf, ours = pair2
+    text = "a face <|facial|> with a nose <|facial|> and mouth"
+
+    def run(tok):
+        return tokenize_and_mask_trigger_ends(
+            text, tok.convert_tokens_to_ids("<|image|>"),
+            tok.convert_tokens_to_ids("<|facial|>"), tok)
+
+    clean_ours, img_ours, fac_ours = run(ours)
+    clean_hf, img_hf, fac_hf = run(hf)
+    np.testing.assert_array_equal(clean_ours, clean_hf)
+    np.testing.assert_array_equal(fac_ours, fac_hf)
+    # the padded tail really is "!" ids, not eos
+    assert clean_ours[0, -1] == ours.pad_token_id

@@ -138,3 +138,34 @@ def test_controlnet_inpaint_runs():
         parsing_labels=labels, faceid_embeds=np.zeros((1, 16), np.float32),
         seed=2)
     np.testing.assert_array_equal(img, img2)
+
+
+def test_inpaint_async_matches_sync(inpaint_pipe):
+    """generate_async on inpaint must yield the same uint8 images as
+    generate(): ADVICE r2 — the inherited async wrapper used to have its
+    return_device flag swallowed by **extra, so _postprocess ran twice and
+    uint8 values were re-quantized as [-1,1] floats (near-all-white)."""
+    face, labels = synthetic_face_inputs()
+    kw = dict(parsing_labels=labels,
+              faceid_embeds=np.zeros((1, 16), np.float32), seed=3,
+              strength=0.7)
+    sync = inpaint_pipe.generate("a man with a face", face, face,
+                                 _mask_image(), **kw)
+    finish = inpaint_pipe.generate_async("a man with a face", face, face,
+                                         _mask_image(), **kw)
+    np.testing.assert_array_equal(sync, finish())
+
+
+def test_inpaint_rejects_unknown_kwargs(inpaint_pipe):
+    face, labels = synthetic_face_inputs()
+    with pytest.raises(TypeError, match="unknown generate"):
+        inpaint_pipe.generate(
+            "a man", face, face, _mask_image(),
+            parsing_labels=labels,
+            faceid_embeds=np.zeros((1, 16), np.float32),
+            not_a_real_kwarg=1)
+
+
+def test_inpaint_batch_not_supported(inpaint_pipe):
+    with pytest.raises(NotImplementedError):
+        inpaint_pipe.generate_batch(["a"], [None])
