@@ -215,7 +215,8 @@ def bench_train(args):
     config = TrainConfig()
     schedule = NoiseSchedule.create(SchedulerConfig())
     state = create_train_state(params, config)
-    step = make_train_step(bundle, schedule, config, mesh=None)
+    step = make_train_step(bundle, schedule, config, mesh=None,
+                           donate=True)
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
         batch_size=batch_size, size=args.height, clip_size=224,
         id_dim=512).items()}
@@ -226,7 +227,7 @@ def bench_train(args):
         from consistentid_tpu.training import make_multi_train_step
 
         multi = make_multi_train_step(bundle, schedule, config, n_steps=spc,
-                                      mesh=None)
+                                      mesh=None, donate=True)
         stacked = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (spc, *x.shape)), batch)
 

@@ -153,9 +153,10 @@ def main(argv=None):
     if spc > 1:
         from ..training import make_multi_train_step
         step_fn = make_multi_train_step(bundle, schedule, config, spc,
-                                        mesh=mesh)
+                                        mesh=mesh, donate=True)
     else:
-        step_fn = make_train_step(bundle, schedule, config, mesh=mesh)
+        step_fn = make_train_step(bundle, schedule, config, mesh=mesh,
+                                  donate=True)
 
     dataset = FGIDDataset(args.manifest, tokenizer, size=args.resolution,
                           image_root=args.data_root, seed=config.seed,
@@ -223,7 +224,8 @@ def main(argv=None):
     # or the max_steps break left fewer than steps-per-call): run them
     # through a single-step fallback so trailing data always trains
     if pending and step < config.max_steps:
-        single_step = make_train_step(bundle, schedule, config, mesh=mesh)
+        single_step = make_train_step(bundle, schedule, config, mesh=mesh,
+                                      donate=True)
         for b in pending:
             if step >= config.max_steps:
                 break

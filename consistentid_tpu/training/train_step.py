@@ -58,12 +58,16 @@ def warm_start_ip_projections(unet_params: Dict) -> Dict:
     for key in list(flat):
         if key[-2] == "to_k_ip":
             src = key[:-2] + ("to_k", key[-1])
-            if src in flat:
-                flat[key] = flat[src]
         elif key[-2] == "to_v_ip":
             src = key[:-2] + ("to_v", key[-1])
-            if src in flat:
-                flat[key] = flat[src]
+        else:
+            continue
+        if src in flat:
+            # COPY, never alias: to_k_ip lands in the trainable partition
+            # while to_k stays frozen — if they shared one buffer, a
+            # donated train step would donate the same buffer twice
+            # (XLA INVALID_ARGUMENT: "donate the same buffer twice")
+            flat[key] = jnp.array(flat[src])
     return traverse_util.unflatten_dict(flat)
 
 
@@ -174,18 +178,23 @@ def consistentid_loss(
 
 def make_train_step(bundle, schedule: NoiseSchedule, config: TrainConfig,
                     mesh: Optional[Mesh] = None, data_axis: str = "data",
-                    loss_fn_impl=None):
+                    loss_fn_impl=None, donate: bool = False):
     """Build the jitted (optionally shard_mapped) train step.
 
     Gradient accumulation (config.grad_accum_steps > 1) runs as a lax.scan
     over microbatches with a loop-carried grad pytree — the TPU-native form
     of accelerate.accumulate (reference train.py:223). Each batch leaf must
     then have leading dims (accum_steps, per_device_batch, ...).
+
+    donate=True donates the input TrainState so XLA updates params/opt
+    state in place (halves peak state HBM; the production train loop and
+    bench enable it — callers must not reuse the passed state afterwards).
     """
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
     step_fn = _build_step_fn(bundle, schedule, config, mesh, data_axis,
                              loss_fn_impl)
     if mesh is None:
-        return jax.jit(step_fn)
+        return jax.jit(step_fn, **donate_kw)
 
     pspec_state = TrainState(trainable=P(), frozen=P(), opt_state=P(),
                              step=P())
@@ -197,13 +206,14 @@ def make_train_step(bundle, schedule: NoiseSchedule, config: TrainConfig,
         step_fn, mesh=mesh,
         in_specs=(pspec_state, batch_spec, P()),
         out_specs=(pspec_state, P()))
-    return jax.jit(sharded)
+    return jax.jit(sharded, **donate_kw)
 
 
 def make_multi_train_step(bundle, schedule: NoiseSchedule,
                           config: TrainConfig, n_steps: int,
                           mesh: Optional[Mesh] = None,
-                          data_axis: str = "data", loss_fn_impl=None):
+                          data_axis: str = "data", loss_fn_impl=None,
+                          donate: bool = False):
     """N distinct optimizer steps per dispatch, as one lax.scan.
 
     Amortizes per-call host->device dispatch latency, which dominates small
@@ -225,8 +235,9 @@ def make_multi_train_step(bundle, schedule: NoiseSchedule,
 
         return jax.lax.scan(body, state, (jnp.arange(n_steps), batches))
 
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:
-        return jax.jit(multi)
+        return jax.jit(multi, **donate_kw)
 
     pspec_state = TrainState(trainable=P(), frozen=P(), opt_state=P(),
                              step=P())
@@ -237,7 +248,7 @@ def make_multi_train_step(bundle, schedule: NoiseSchedule,
         multi, mesh=mesh,
         in_specs=(pspec_state, batch_spec, P()),
         out_specs=(pspec_state, P()))
-    return jax.jit(sharded)
+    return jax.jit(sharded, **donate_kw)
 
 
 def _build_step_fn(bundle, schedule: NoiseSchedule, config: TrainConfig,

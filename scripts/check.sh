@@ -1,0 +1,62 @@
+#!/bin/bash
+# One-command release gate (VERDICT r2 item 3): the advertised numbers are
+# whatever THIS prints.
+#   bash scripts/check.sh            # full: pytest (3 parallel batches) +
+#                                    # bench --tiny + dryrun_multichip(8)
+#   bash scripts/check.sh --no-tpu   # skip the TPU bench (CPU-only env)
+#
+# Prints one summary line and writes GATE.json. Exit 0 iff everything passed.
+set -u
+cd "$(dirname "$0")/.."
+NO_TPU=${1:-}
+
+mkdir -p /tmp/gate
+# 3 parallel pytest batches (full suite is ~90 min serial; see
+# .claude/skills/verify): pipelines+sdxl+serve / training+cli / the rest.
+B1="tests/test_pipeline_e2e.py tests/test_pipeline_sdxl.py tests/test_serve.py tests/test_inpaint.py tests/test_sampling.py"
+B2="tests/test_training.py tests/test_train_cli.py tests/test_validate_cli.py tests/test_eval_apps.py tests/test_unet_vae_torch_parity.py"
+B3=$(ls tests/test_*.py | grep -v -E "test_pipeline_e2e|test_pipeline_sdxl|test_serve|test_inpaint|test_sampling|test_training|test_train_cli|test_validate_cli|test_eval_apps|test_unet_vae_torch_parity" | tr '\n' ' ')
+
+pids=()
+i=0
+for batch in "$B1" "$B2" "$B3"; do
+  i=$((i+1))
+  (timeout 5400 python -m pytest $batch -q > /tmp/gate/pytest_$i.log 2>&1; echo $? > /tmp/gate/pytest_$i.rc) &
+  pids+=($!)
+done
+for p in "${pids[@]}"; do wait "$p"; done
+
+total_passed=0; total_failed=0; pytest_ok=1
+for i in 1 2 3; do
+  tail_line=$(grep -E "[0-9]+ (passed|failed)" /tmp/gate/pytest_$i.log | tail -1)
+  p=$(echo "$tail_line" | grep -oE "[0-9]+ passed" | grep -oE "[0-9]+" || echo 0)
+  f=$(echo "$tail_line" | grep -oE "[0-9]+ failed" | grep -oE "[0-9]+" || echo 0)
+  total_passed=$((total_passed + ${p:-0})); total_failed=$((total_failed + ${f:-0}))
+  [ "$(cat /tmp/gate/pytest_$i.rc)" = "0" ] || pytest_ok=0
+done
+
+dryrun_ok=0
+timeout 900 python -c "
+import os; os.environ.setdefault('JAX_PLATFORMS', 'axon')
+import jax
+from __graft_entry__ import dryrun_multichip
+dryrun_multichip(8)" > /tmp/gate/dryrun.log 2>&1 && dryrun_ok=1
+
+bench_ok=1; bench_line="(skipped)"
+if [ "$NO_TPU" != "--no-tpu" ]; then
+  bench_ok=0
+  bench_line=$(timeout 1800 python bench.py --tiny --iters 2 2>/dev/null | tail -1)
+  echo "$bench_line" | grep -q '"images/min"' && bench_ok=1
+fi
+
+ok=$((pytest_ok * dryrun_ok * bench_ok))
+python - "$total_passed" "$total_failed" "$pytest_ok" "$dryrun_ok" "$bench_ok" "$ok" <<'PYEOF'
+import json, sys
+p, f, py, dr, be, ok = map(int, sys.argv[1:7])
+rec = {"pytest_passed": p, "pytest_failed": f, "pytest_ok": bool(py),
+       "dryrun_multichip_ok": bool(dr), "bench_tiny_ok": bool(be),
+       "ok": bool(ok)}
+json.dump(rec, open("GATE.json", "w"), indent=2)
+print("GATE:", json.dumps(rec))
+PYEOF
+exit $((1 - ok))
