@@ -9,6 +9,7 @@ value / 30 (>1 = beating the target). Random weights — throughput depends
 only on architecture + shapes, not weight values.
 """
 import argparse
+import os
 import json
 import sys
 import time
@@ -39,12 +40,24 @@ def main():
     p.add_argument("--train", action="store_true",
                    help="full-size SD1.5 adapter training step time/MFU "
                         "(512px, the reference's per-GPU batch 2)")
+    p.add_argument("--fgid-mask", action="store_true",
+                   help="FGID mask-production throughput (batched BiSeNet "
+                        "parse incl. JPEG decode + PNG outputs) vs the "
+                        "reference's 1.85 img/s on one RTX 3090 "
+                        "(data/FGID_mask.py:146)")
+    p.add_argument("--n-images", type=int, default=128,
+                   help="--fgid-mask synthetic corpus size")
     p.add_argument("--remat", choices=["full", "dots", "none"],
                    default="none",
-                   help="--train UNet rematerialization. v5e, 512px batch "
-                        "2, 8 steps/dispatch: none=0.189 s/step, "
-                        "full=0.206 — no-remat fits HBM here and is ~8%% "
-                        "faster; remat is for configs that OOM")
+                   help="--train UNet rematerialization. v5e 512px, 8 "
+                        "steps/dispatch, donated state (r3 A/B): batch 2 "
+                        "none=0.188 s/step; batch 4 none=0.356 (remat "
+                        "pathological at batch 4: 0.79-0.82 for BOTH "
+                        "policies — XLA scheduling artifact, reproduced "
+                        "3x); batch 8 none=0.573 (13.97 ex/s, MFU 0.33) "
+                        "vs full=0.604. With donation no-remat fits HBM "
+                        "through batch 8; remat remains the escape hatch "
+                        "for larger configs")
     p.add_argument("--steps-per-call", type=int, default=8,
                    help="--train optimizer steps per dispatch "
                         "(make_multi_train_step lax.scan). The 512px "
@@ -56,6 +69,8 @@ def main():
 
     if args.sdxl:
         return bench_sdxl(args)
+    if args.fgid_mask:
+        return bench_fgid_mask(args)
     if args.train:
         if args.batch is None:
             args.batch = 2  # reference per-GPU batch (train_bash.sh:8)
@@ -279,6 +294,68 @@ def bench_train(args):
             rec["mfu"] = round(m, 4)
             rec["peak_tflops"] = device_peak_tflops()
     rec["device"] = jax.devices()[0].device_kind
+    print(json.dumps(rec))
+
+
+def bench_fgid_mask(args):
+    """FGID mask-production stage end-to-end: JPEG corpus -> batched
+    BiSeNet parse on TPU -> resize/mask/color PNGs + JSON stubs, exactly
+    the apps/fgid.py mask pipeline. Reference throughput: 100k images /
+    15 h = 1.85 img/s on one RTX 3090 (data/FGID_mask.py:146). Random
+    weights — parse throughput is weight-independent."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from PIL import Image
+
+    from consistentid_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from consistentid_tpu.apps.fgid import run_mask
+    from consistentid_tpu.io import export_backbones as exp
+    from consistentid_tpu.models.bisenet import BiSeNet
+
+    batch = args.batch if args.batch is not None else 16
+    tmp = tempfile.mkdtemp(prefix="fgid_bench_")
+    try:
+        img_dir = os.path.join(tmp, "imgs")
+        os.makedirs(img_dir)
+        rng = np.random.RandomState(0)
+        for i in range(args.n_images):
+            arr = rng.randint(0, 255, (512, 512, 3), np.uint8)
+            Image.fromarray(arr).save(os.path.join(img_dir, f"im{i:05d}.jpg"),
+                                      quality=92)
+
+        bn = BiSeNet(n_classes=19, train=True)
+        v = bn.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        ckpt = os.path.join(tmp, "face_parsing.pth")
+        sd = exp.bisenet_to_torch(v["params"], v["batch_stats"])
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(
+            np.asarray(x, np.float32))) for k, x in sd.items()}, ckpt)
+
+        out_dir = os.path.join(tmp, "out")
+        run_mask(img_dir, out_dir, ckpt, batch_size=batch)  # compile+warm
+        shutil.rmtree(out_dir)
+        t0 = time.perf_counter()
+        run_mask(img_dir, out_dir, ckpt, batch_size=batch)
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    img_per_s = args.n_images / dt
+    rec = {
+        "metric": f"FGID mask production (BiSeNet parse + outputs, "
+                  f"batch {batch})",
+        "value": round(img_per_s, 3),
+        "unit": "images/s",
+        "vs_baseline": round(img_per_s / 1.85, 3),
+        "n_images": args.n_images,
+        "device": jax.devices()[0].device_kind,
+    }
     print(json.dumps(rec))
 
 

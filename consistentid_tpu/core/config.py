@@ -230,11 +230,14 @@ class TrainConfig:
     max_steps: int = 100000
     save_steps: int = 1000
     seed: int = 42
-    # v5e A/B at the reference 512px/batch-2 config with dispatch latency
-    # amortized (8 steps/dispatch, fetch-barrier timing — single-dispatch
-    # comparisons are dominated by ~0.2 s/call tunnel noise): no-remat
-    # 0.189 s/step vs full-block remat 0.206. This config fits HBM without
-    # remat, so it defaults off; turn on for configs that OOM (SDXL
-    # 1024px, larger batches) at an ~8% step-time cost.
+    # v5e A/B, 512px, 8 steps/dispatch, donated state (r3): with donation
+    # no-remat fits HBM through per-chip batch 8 — batch 2 none=0.188
+    # s/step, batch 4 none=0.356, batch 8 none=0.573 (13.97 ex/s,
+    # MFU 0.33; the throughput config). Remat is the escape hatch for
+    # configs that OOM (SDXL 1024px); note an XLA pathology at batch 4
+    # where BOTH remat policies run 2.3x slower than no-remat (reproduced
+    # 3x) — if remat is needed, prefer batch 8. Flash attention in the
+    # bwd pass is 29% faster than XLA attention at batch 8 (0.604 vs
+    # 0.779 remat-full) while ~3% slower at batch 2 (round-2 note).
     remat_unet: bool = False
-    remat_policy: str = "full"  # "full" | "dots" (measured equal on v5e)
+    remat_policy: str = "full"  # "full" | "dots"
