@@ -285,6 +285,10 @@ def main(argv=None):
                                  "captioner.SubprocessCaptioner)")
             sp.add_argument("--captioner-url", default=None,
                             help="external VLM HTTP endpoint")
+            sp.add_argument("--captioner-llava", default=None,
+                            help="HF llava-1.5 checkpoint dir to run the "
+                                 "in-repo TPU LLaVA captioner "
+                                 "(conditioning.captioner.LlavaCaptioner)")
         if stage == "faceid":
             sp.add_argument("--arcface", required=True)
             sp.add_argument("--batch-size", type=int, default=32)
@@ -294,7 +298,8 @@ def main(argv=None):
         run_mask(args.images, args.out, args.bisenet, args.batch_size)
     elif args.stage == "caption":
         from ..conditioning.captioner import make_captioner
-        captioner = make_captioner(args.captioner_cmd, args.captioner_url)
+        captioner = make_captioner(args.captioner_cmd, args.captioner_url,
+                                   args.captioner_llava)
         try:
             run_caption(args.images, args.out, captioner)
         finally:

@@ -37,6 +37,118 @@ class Captioner(Protocol):
     def __call__(self, image) -> Tuple[str, str]: ...
 
 
+# ---------------------------------------------------------------------------
+# In-repo LLaVA captioner (TPU-native equivalent of models/LLaVA +
+# data/FGID_caption.py:36-116)
+# ---------------------------------------------------------------------------
+
+# llava_v1 conversation template (what the reference's vendored driver
+# resolves to for llava-v1.5 with conv_mode=None,
+# models/LLaVA/demo_llva_use.py:28): "{system} USER: <image>\n{query}
+# ASSISTANT:" with sep=" " after the user turn.
+LLAVA_SYSTEM = (
+    "A chat between a curious human and an artificial intelligence "
+    "assistant. The assistant gives helpful, detailed, and polite answers "
+    "to the human's questions.")
+
+
+def llava_v1_prompt_parts(query: str,
+                          system: str = LLAVA_SYSTEM) -> Tuple[str, str]:
+    """Text before/after the `<image>` slot in the llava_v1 prompt.
+
+    Matches upstream LLaVA's conv_llava_v1.get_prompt() split at
+    DEFAULT_IMAGE_TOKEN: the image features replace `<image>` in
+    `{system} USER: <image>\\n{query} ASSISTANT:`.
+    """
+    return f"{system} USER: ", f"\n{query} ASSISTANT:"
+
+
+class LlavaCaptioner:
+    """Runs the in-repo LLaVA-1.5 (models/llava.py) as a jitted TPU
+    prefill+decode captioner — the runnable equivalent of the reference's
+    torch LLaVA driver (data/FGID_caption.py:20-78).
+
+    `tokenizer` is any HF-style Llama tokenizer: `encode(text) -> ids`
+    (prepending BOS), `decode(ids, skip_special_tokens=True) -> str`, and
+    `bos_token_id`/`eos_token_id` attributes. Prompt ids follow upstream
+    `tokenizer_image_token` semantics: [bos] + pre + <features> +
+    post-without-bos. The two FGID prompts give exactly two compilations
+    (shape-specialized jit); greedy decode = the reference's temperature=0.
+    """
+
+    def __init__(self, params, tokenizer, config=None,
+                 max_new_tokens: int = 512, dtype=None,
+                 caption_prompt: str = CAPTION_PROMPT,
+                 detail_prompt: str = DETAIL_PROMPT,
+                 system: str = LLAVA_SYSTEM):
+        import jax.numpy as jnp
+
+        from ..core.config import LlavaConfig
+        from ..models.llava import make_caption_fn
+
+        self.config = config or LlavaConfig()
+        self.params = params
+        self.tokenizer = tokenizer
+        self.caption_prompt = caption_prompt
+        self.detail_prompt = detail_prompt
+        self.system = system
+        self._fn = make_caption_fn(
+            self.config, max_new_tokens=max_new_tokens,
+            eos_token_id=int(tokenizer.eos_token_id),
+            pad_token_id=0, dtype=dtype or jnp.bfloat16)
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, **kw) -> "LlavaCaptioner":
+        """Load an HF llava-1.5 checkpoint directory (safetensors shards +
+        tokenizer files) into the flax model."""
+        import os
+
+        from ..core.config import LlavaConfig
+        from ..io.convert_backbones import llava_from_hf
+        from ..io.safetensors_reader import read_checkpoint
+
+        from transformers import AutoTokenizer
+
+        cfg = kw.pop("config", None) or LlavaConfig()
+        sd = read_checkpoint(model_dir)
+        params = llava_from_hf(sd, cfg)
+        tok = AutoTokenizer.from_pretrained(model_dir)
+        return cls(params, tok, config=cfg, **kw)
+
+    def _encode_parts(self, query: str):
+        import numpy as np
+
+        pre_text, post_text = llava_v1_prompt_parts(query, self.system)
+        pre = list(self.tokenizer.encode(pre_text))
+        post = list(self.tokenizer.encode(post_text))
+        # upstream tokenizer_image_token: the post chunk's BOS is dropped
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        if bos is not None and post and post[0] == bos:
+            post = post[1:]
+        return np.asarray(pre, np.int32), np.asarray(post, np.int32)
+
+    def generate(self, image, prompt: str) -> str:
+        import numpy as np
+
+        from ..models.llava import preprocess_image
+
+        if isinstance(image, str):
+            from PIL import Image
+            image = Image.open(image)
+        pixels = preprocess_image(image, self.config.vision.image_size)
+        pre, post = self._encode_parts(prompt)
+        out = np.asarray(self._fn(self.params, pixels, pre, post))[0]
+        # pads (0) only ever appear after EOS, so cutting at EOS is enough
+        toks = out.tolist()
+        eos = int(self.tokenizer.eos_token_id)
+        ids = toks[:toks.index(eos)] if eos in toks else toks
+        return self.tokenizer.decode(ids, skip_special_tokens=True).strip()
+
+    def __call__(self, image) -> Tuple[str, str]:
+        return (self.generate(image, self.caption_prompt),
+                self.generate(image, self.detail_prompt))
+
+
 class TemplateCaptioner:
     """Fixed-template captions (the reference's shipped behavior)."""
 
@@ -158,10 +270,14 @@ class HTTPCaptioner:
 
 
 def make_captioner(command: Optional[str] = None,
-                   url: Optional[str] = None) -> Callable:
-    """CLI helper: build the captioner from --captioner-cmd/--captioner-url
-    flags; the template default when neither is given (the reference's
-    shipped inference behavior)."""
+                   url: Optional[str] = None,
+                   llava_dir: Optional[str] = None) -> Callable:
+    """CLI helper: build the captioner from
+    --captioner-cmd/--captioner-url/--captioner-llava flags; the template
+    default when none is given (the reference's shipped inference
+    behavior)."""
+    if llava_dir:
+        return LlavaCaptioner.from_pretrained(llava_dir)
     if command:
         return SubprocessCaptioner(command)
     if url:

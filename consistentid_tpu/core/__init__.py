@@ -2,6 +2,8 @@ from .config import (
     AdapterConfig,
     CLIPTextConfig,
     CLIPVisionConfig,
+    LlamaConfig,
+    LlavaConfig,
     PipelineConfig,
     SchedulerConfig,
     TrainConfig,

@@ -246,3 +246,66 @@ def safety_checker_from_hf(sd: Mapping[str, np.ndarray],
         "concept_embeds_weights": sd["concept_embeds_weights"],
         "special_care_embeds_weights": sd["special_care_embeds_weights"],
     }
+
+
+def _llama_layer(sd, p):
+    return {
+        "input_layernorm": {"weight": sd[f"{p}.input_layernorm.weight"]},
+        "self_attn": {
+            "q_proj": linear(sd, f"{p}.self_attn.q_proj", bias=False),
+            "k_proj": linear(sd, f"{p}.self_attn.k_proj", bias=False),
+            "v_proj": linear(sd, f"{p}.self_attn.v_proj", bias=False),
+            "o_proj": linear(sd, f"{p}.self_attn.o_proj", bias=False),
+        },
+        "post_attention_layernorm": {
+            "weight": sd[f"{p}.post_attention_layernorm.weight"]},
+        "mlp": {
+            "gate_proj": linear(sd, f"{p}.mlp.gate_proj", bias=False),
+            "up_proj": linear(sd, f"{p}.mlp.up_proj", bias=False),
+            "down_proj": linear(sd, f"{p}.mlp.down_proj", bias=False),
+        },
+    }
+
+
+def llama_from_hf(sd: Mapping[str, np.ndarray], cfg) -> Dict:
+    """HF LlamaForCausalLM state dict -> models.llama.LlamaForCausalLM
+    params (the LLaVA-1.5 language model, data/FGID_caption.py:20)."""
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+    out: Dict = {
+        "embed_tokens": {"embedding": sd[f"{pre}embed_tokens.weight"]},
+        "norm": {"weight": sd[f"{pre}norm.weight"]},
+    }
+    for i in range(cfg.num_layers):
+        out[f"layers_{i}"] = _llama_layer(sd, f"{pre}layers.{i}")
+    if not cfg.tie_word_embeddings:
+        out["lm_head"] = linear(sd, "lm_head", bias=False)
+    return out
+
+
+def llava_from_hf(sd: Mapping[str, np.ndarray], cfg) -> Dict:
+    """HF LlavaForConditionalGeneration state dict -> the
+    {"mm": LlavaModel, "llama": LlamaForCausalLM} param bundle of
+    models/llava.py. Accepts both the modern `model.language_model.*` and
+    the legacy `language_model.model.*` HF key layouts."""
+    modern = any(k.startswith("model.language_model.") for k in sd)
+    vt = ("model.vision_tower." if modern else "vision_tower.")
+    mm = ("model.multi_modal_projector." if modern
+          else "multi_modal_projector.")
+    lm = ("model.language_model." if modern else "language_model.model.")
+    vision_sd = {k[len(vt):]: sd[k] for k in sd if k.startswith(vt)}
+    llama_sd = {"model." + k[len(lm):]: sd[k] for k in sd
+                if k.startswith(lm)}
+    for head_key in ("lm_head.weight", "language_model.lm_head.weight"):
+        if head_key in sd:
+            llama_sd["lm_head.weight"] = sd[head_key]
+            break
+    return {
+        "mm": {
+            "vision_tower": clip_vision_from_hf(vision_sd, cfg.vision),
+            "multi_modal_projector": {
+                "linear_1": linear(sd, f"{mm}linear_1"),
+                "linear_2": linear(sd, f"{mm}linear_2"),
+            },
+        },
+        "llama": llama_from_hf(llama_sd, cfg.text),
+    }

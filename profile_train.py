@@ -24,7 +24,10 @@ from consistentid_tpu.training import (create_train_state, make_train_step,
 
 
 def main():
+    # argv: [remat] [batch] [steps_per_call]
     remat = sys.argv[1] if len(sys.argv) > 1 else "full"
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spc = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     bundle = SD15Bundle(
         unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
         adapter_config=AdapterConfig(),
@@ -35,9 +38,21 @@ def main():
     config = TrainConfig()
     schedule = NoiseSchedule.create(SchedulerConfig())
     state = create_train_state(params, config)
-    step = make_train_step(bundle, schedule, config, mesh=None)
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
-        batch_size=2, size=512, clip_size=224, id_dim=512).items()}
+        batch_size=batch_size, size=512, clip_size=224, id_dim=512).items()}
+    if spc > 1:
+        from consistentid_tpu.training import make_multi_train_step
+        multi = make_multi_train_step(bundle, schedule, config, n_steps=spc,
+                                      mesh=None, donate=True)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (spc, *x.shape)), batch)
+
+        def step(state, b, key):
+            st, m = multi(state, stacked, key)
+            return st, {"loss": m["loss"][-1]}
+    else:
+        step = make_train_step(bundle, schedule, config, mesh=None,
+                               donate=True)
 
     rng = jax.random.PRNGKey(1)
     state, metrics = step(state, batch, rng)
@@ -54,9 +69,7 @@ def main():
     print("xplane files:", xplanes)
     if not xplanes:
         return
-    from tensorflow.python.profiler.internal import _pywrap_profiler_plugin  # noqa
-    # fall back to raw proto parsing
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     for xp_path in xplanes:
         space = xplane_pb2.XSpace()
