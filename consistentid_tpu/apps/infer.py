@@ -22,6 +22,9 @@ def build_parser():
                    help="CLIP ViT-H checkpoint")
     p.add_argument("--bisenet", default=None, help="face_parsing.pth")
     p.add_argument("--arcface", default=None, help="w600k_r50.onnx / .pt")
+    p.add_argument("--scrfd", default=None,
+                   help="det_10g.onnx / .pt face detector (enables "
+                        "detect->align like insightface FaceAnalysis)")
     p.add_argument("--tokenizer", default=None,
                    help="local CLIPTokenizer dir (transformers)")
     p.add_argument("--image", required=True, help="reference face image")
@@ -37,8 +40,17 @@ def build_parser():
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--scheduler", default="euler",
-                   choices=["ddim", "euler", "ddpm"])
+                   choices=["ddim", "euler", "ddpm", "dpmpp_2m", "pndm"])
     p.add_argument("--num-images", type=int, default=1)
+    p.add_argument("--ip-scale", type=float, default=1.0,
+                   help="identity-adapter strength (traced; no recompile)")
+    p.add_argument("--lora-scale", type=float, default=1.0)
+    p.add_argument("--tiny", action="store_true",
+                   help="toy-scale model configs (smoke tests against "
+                        "apps.validate --synthesize checkpoints)")
+    p.add_argument("--no-safety-checker", action="store_true",
+                   help="skip the CLIP safety checker even if the dump "
+                        "ships one (the reference's safety_checker=None)")
     p.add_argument("--sdxl", action="store_true",
                    help="SDXL base (reference infer_SDXL.py defaults: "
                         "864x1152, CFG 7.5)")
@@ -74,7 +86,13 @@ def main(argv=None):
     kw = dict(consistentid_path=args.consistentid,
               image_encoder_path=args.image_encoder,
               bisenet_path=args.bisenet, arcface_path=args.arcface,
+              scrfd_path=args.scrfd,
               tokenizer=tokenizer, pipeline_config=config)
+    if args.tiny:
+        from ..testing import tiny_bundle, tiny_sdxl_bundle
+        kw["bundle"] = tiny_sdxl_bundle() if args.sdxl else tiny_bundle()
+    if args.no_safety_checker and not args.sdxl:
+        kw["with_safety_checker"] = False
     if args.sdxl:
         pipe = load_sdxl_consistentid(args.base, tokenizer_2=tokenizer_2,
                                       **kw)
@@ -85,6 +103,7 @@ def main(argv=None):
     imgs = pipe.generate(args.prompt, face,
                          negative_prompt=args.negative_prompt,
                          seed=args.seed,
+                         ip_scale=args.ip_scale, lora_scale=args.lora_scale,
                          num_images_per_prompt=args.num_images)
     stem, ext = (args.out.rsplit(".", 1) + ["png"])[:2]
     for i, img in enumerate(imgs):
