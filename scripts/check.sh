@@ -14,17 +14,30 @@ mkdir -p /tmp/gate
 # 3 parallel pytest batches (full suite is ~90 min serial; see
 # .claude/skills/verify): pipelines+sdxl+serve / training+cli / the rest.
 B1="tests/test_pipeline_e2e.py tests/test_pipeline_sdxl.py tests/test_serve.py tests/test_inpaint.py tests/test_sampling.py"
-B2="tests/test_training.py tests/test_train_cli.py tests/test_validate_cli.py tests/test_eval_apps.py tests/test_unet_vae_torch_parity.py"
-B3=$(ls tests/test_*.py | grep -v -E "test_pipeline_e2e|test_pipeline_sdxl|test_serve|test_inpaint|test_sampling|test_training|test_train_cli|test_validate_cli|test_eval_apps|test_unet_vae_torch_parity" | tr '\n' ' ')
+B2="tests/test_training.py tests/test_train_cli.py tests/test_validate_cli.py tests/test_eval_apps.py tests/test_unet_vae_torch_parity.py tests/test_infer_cli.py"
+B3=$(ls tests/test_*.py | grep -v -E "test_pipeline_e2e|test_pipeline_sdxl|test_serve|test_inpaint|test_sampling|test_training|test_train_cli|test_validate_cli|test_eval_apps|test_unet_vae_torch_parity|test_infer_cli" | tr '\n' ' ')
 
-pids=()
-i=0
-for batch in "$B1" "$B2" "$B3"; do
-  i=$((i+1))
-  (timeout 5400 python -m pytest $batch -q > /tmp/gate/pytest_$i.log 2>&1; echo $? > /tmp/gate/pytest_$i.rc) &
-  pids+=($!)
-done
-for p in "${pids[@]}"; do wait "$p"; done
+# On a multicore box the three batches run concurrently; on 1-2 cores
+# parallel batches just contend for the same core and each risks the wall
+# timeout, so run them sequentially (same total CPU, safe per-batch wall).
+NCORES=$(nproc 2>/dev/null || echo 1)
+if [ "$NCORES" -ge 3 ]; then
+  pids=()
+  i=0
+  for batch in "$B1" "$B2" "$B3"; do
+    i=$((i+1))
+    (timeout 7200 python -m pytest $batch -q > /tmp/gate/pytest_$i.log 2>&1; echo $? > /tmp/gate/pytest_$i.rc) &
+    pids+=($!)
+  done
+  for p in "${pids[@]}"; do wait "$p"; done
+else
+  i=0
+  for batch in "$B1" "$B2" "$B3"; do
+    i=$((i+1))
+    timeout 7200 python -m pytest $batch -q > /tmp/gate/pytest_$i.log 2>&1
+    echo $? > /tmp/gate/pytest_$i.rc
+  done
+fi
 
 total_passed=0; total_failed=0; pytest_ok=1
 for i in 1 2 3; do
