@@ -58,6 +58,17 @@ def main():
                         "vs full=0.604. With donation no-remat fits HBM "
                         "through batch 8; remat remains the escape hatch "
                         "for larger configs")
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="int8: W8A8 UNet serving path (ops/quant.py) for "
+                        "the SD1.5/SDXL pipeline benches. achieved_tflops/"
+                        "mfu stay bf16-equivalent (same counted FLOPs, "
+                        "faster wall clock), so mfu>bf16-roofline is "
+                        "expected when int8 pays off")
+    p.add_argument("--cache-interval", type=int, default=1,
+                   help="DeepCache-style deep-feature reuse cadence for the "
+                        "pipeline benches (1 = off). N>1 runs the full UNet "
+                        "every N-th denoise step and only the shallow "
+                        "level-0 blocks in between (small quality trade)")
     p.add_argument("--steps-per-call", type=int, default=8,
                    help="--train optimizer steps per dispatch "
                         "(make_multi_train_step lax.scan). The 512px "
@@ -90,8 +101,10 @@ def main():
     from consistentid_tpu.pipelines import ConsistentIDPipeline, SD15Bundle
 
     if args.tiny:
+        import dataclasses
+
         from consistentid_tpu.testing import tiny_bundle
-        bundle = tiny_bundle()
+        bundle = dataclasses.replace(tiny_bundle(), quant=args.quant)
         id_dim = 16
         # smoke mode runs tiny shapes end-to-end: at the default 512px the
         # tiny VAE's small scale factor yields 65k-token self-attention,
@@ -108,6 +121,7 @@ def main():
             unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
             adapter_config=AdapterConfig(),
             dtype=jnp.bfloat16,
+            quant=args.quant,
         )
         id_dim = 512
 
@@ -141,7 +155,8 @@ def main():
     faceid = np.random.RandomState(1).randn(1, id_dim).astype(np.float32)
 
     kw = dict(parsing_labels=labels, faceid_embeds=faceid,
-              num_images_per_prompt=args.batch)
+              num_images_per_prompt=args.batch,
+              cache_interval=args.cache_interval)
     # warmup / compile
     img = pipe.generate("portrait photo of a man with a strong face, "
                         "blue eyes, a sharp nose and a wide mouth",
@@ -166,13 +181,18 @@ def main():
     assert np.isfinite(out.astype(np.float32)).all()
 
     images_per_min = 60.0 * args.batch / dt
+    tag = " int8" if args.quant == "int8" else ""
+    if args.cache_interval > 1:
+        tag += f" cache{args.cache_interval}"
     rec = {
         "metric": f"SD1.5 {args.height}px {args.steps}-step ConsistentID "
-                  f"images/min/chip (batch {args.batch})",
+                  f"images/min/chip (batch {args.batch}){tag}",
         "value": round(images_per_min, 3),
         "unit": "images/min",
         "vs_baseline": round(images_per_min / 30.0, 3),
     }
+    if args.quant != "none":
+        rec["quant"] = args.quant
     if getattr(args, "tiny_downsized", False):
         rec["note"] = "tiny smoke mode downsized to 64px (default dims)"
     # MFU: XLA cost analysis counts the lax.scan body once, so the denoise
@@ -183,6 +203,9 @@ def main():
     ca = pipe.last_cost_analysis() or {}
     step = pipe.step_flops() or 0.0
     flops = float(ca.get("flops", 0.0)) + step * (args.steps - 1)
+    if args.cache_interval > 1:
+        rec["cache_interval"] = args.cache_interval
+        flops = 0.0  # cost analysis counts both cond branches; not comparable
     if flops:
         rec["achieved_tflops"] = round(flops / dt / 1e12, 2)
         m = mfu(flops, dt)
@@ -387,6 +410,7 @@ def bench_sdxl(args):
         adapter_config=sdxl_adapter_config(),
         vae_config=VAEConfig(scaling_factor=0.13025, force_upcast=True),
         dtype=jnp.bfloat16,
+        quant=args.quant,
     )
     params = bundle.fast_random_params(jax.random.PRNGKey(0))
     steps_a, steps_b = 10, 30
@@ -396,7 +420,8 @@ def bench_sdxl(args):
         pipeline_config=PipelineConfig(height=1024, width=1024,
                                        num_inference_steps=args.steps,
                                        guidance_scale=7.5,
-                                       start_merge_step=30))
+                                       start_merge_step=30,
+                                       cache_interval=args.cache_interval))
     face = Image.fromarray(
         np.random.RandomState(0).randint(0, 255, (512, 512, 3), np.uint8))
     labels = np.zeros((512, 512), np.uint8)
@@ -440,18 +465,27 @@ def bench_sdxl(args):
 
     # no published reference number; north-star heuristic: 2 img/min at
     # 1024px 50 steps on one v5e chip (mirrors BASELINE's SDXL row)
+    tag = " int8" if args.quant == "int8" else ""
+    if args.cache_interval > 1:
+        tag += f" cache{args.cache_interval}"
     rec = {
         "metric": f"SDXL 1024px {args.steps}-step ConsistentID "
-                  f"images/min/chip (batch {args.batch})",
+                  f"images/min/chip (batch {args.batch}){tag}",
         "value": round(images_per_min, 3),
         "unit": "images/min",
         "vs_baseline": round(images_per_min / 2.0, 3),
         "step_time_s": round(step_time, 4),
     }
+    if args.quant != "none":
+        rec["quant"] = args.quant
+    if args.cache_interval > 1:
+        rec["cache_interval"] = args.cache_interval
     # whole-pipeline MFU like the SD1.5 record: scan body counted once by
     # XLA cost analysis, denoise loop = step_flops * (steps - 1) on top
     from consistentid_tpu.utils.profiling import device_peak_tflops, mfu
     flops = float(ca.get("flops", 0.0)) + step_flops * (args.steps - 1)
+    if args.cache_interval > 1:
+        flops = step_flops = 0.0  # per-step FLOPs vary under DeepCache
     if flops:
         rec["achieved_tflops"] = round(flops / dt / 1e12, 2)
         m = mfu(flops, dt)

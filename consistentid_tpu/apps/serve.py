@@ -278,12 +278,13 @@ def main(argv=None):
     pipe = load_sd15_consistentid(
         args.base, consistentid_path=args.consistentid,
         image_encoder_path=args.image_encoder, bisenet_path=args.bisenet,
-        arcface_path=args.arcface,
+        arcface_path=args.arcface, quant=args.quant,
         pipeline_config=PipelineConfig(
             height=args.height, width=args.width,
             num_inference_steps=args.steps,
             guidance_scale=args.guidance_scale,
-            start_merge_step=args.start_merge_step))
+            start_merge_step=args.start_merge_step,
+            cache_interval=args.cache_interval))
     server, batcher = serve(pipe, args.port, args.max_batch, args.window_ms,
                             host=args.host, max_body=args.max_body,
                             max_image_px=args.max_image_px)

@@ -252,6 +252,12 @@ class PipelineConfig:
     start_merge_step: int = 30          # reference infer.py:48-49
     scheduler: str = "ddim"     # ddim | euler | ddpm | dpmpp_2m | pndm
     max_text_len: int = 77
+    # DeepCache-style deep-feature reuse cadence (sampling/sampler.py):
+    # 1 = off (every step runs the full UNet); N>1 = refresh the deep
+    # blocks every N-th step, run only the shallow level-0 blocks in
+    # between. Training-free acceleration with a small quality trade
+    # (PAPERS.md family). Static: changing it recompiles.
+    cache_interval: int = 1
 
 
 @dataclass(frozen=True)

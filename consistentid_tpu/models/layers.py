@@ -9,17 +9,87 @@ NHWC so convolutions map directly onto TPU's preferred layout.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention, merge_heads, split_heads
+from ..ops.quant import int8_conv, int8_matmul
 
 GN_EPS = 1e-5          # resnet / conv-out group norms
 GN_EPS_TRANSFORMER = 1e-6  # transformer input group norm
 LN_EPS = 1e-5
+
+
+class Int8Conv(nn.Module):
+    """W8A8 conv for the quantized serving path (ops/quant.py): int8
+    per-out-channel kernel + fp32 scale params (produced from the folded
+    float kernels by quantize_params_like), dynamic per-example activation
+    quant, int32 MXU accumulation. Param names kernel_q/kernel_scale/bias."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        wq = self.param("kernel_q", nn.initializers.zeros,
+                        (kh, kw, x.shape[-1], self.features), jnp.int8)
+        ws = self.param("kernel_scale", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        pad = [(self.padding, self.padding)] * 2
+        y = int8_conv(x, wq, ws, self.strides, pad)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class Int8Dense(nn.Module):
+    """W8A8 dense: int8 (I, O) kernel + per-out-channel scale, dynamic
+    per-token activation quant. Drop-in for nn.Dense on the quant path."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        wq = self.param("kernel_q", nn.initializers.zeros,
+                        (x.shape[-1], self.features), jnp.int8)
+        ws = self.param("kernel_scale", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        y = int8_matmul(x, wq, ws)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def conv2d(features, kernel_size, *, strides=(1, 1), padding=1,
+           use_bias=True, dtype=jnp.float32, name=None, quant=False):
+    """nn.Conv or its W8A8 twin, padding given as a symmetric int."""
+    if quant:
+        return Int8Conv(features, kernel_size, strides=strides,
+                        padding=padding, use_bias=use_bias, dtype=dtype,
+                        name=name)
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   use_bias=use_bias, dtype=dtype, name=name)
+
+
+def dense(features, *, use_bias=True, dtype=jnp.float32, name=None,
+          quant=False):
+    if quant:
+        return Int8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int,
@@ -54,6 +124,7 @@ class ResnetBlock(nn.Module):
     out_channels: int
     groups: int = 32
     use_time_emb: bool = True
+    quant: bool = False   # W8A8 convs (time_emb_proj / norms stay float)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -62,8 +133,8 @@ class ResnetBlock(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS,
                          dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
+        h = conv2d(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                   name="conv1", quant=self.quant)(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
@@ -71,22 +142,23 @@ class ResnetBlock(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS,
                          dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+        h = conv2d(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                   name="conv2", quant=self.quant)(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
+            x = conv2d(self.out_channels, (1, 1), padding=0, dtype=self.dtype,
+                       name="conv_shortcut", quant=self.quant)(x)
         return x + h
 
 
 class Downsample(nn.Module):
     out_channels: int
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
-                       dtype=self.dtype, name="conv")(x)
+        return conv2d(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                      dtype=self.dtype, name="conv", quant=self.quant)(x)
 
 
 def upsample2x_nearest(x: jax.Array) -> jax.Array:
@@ -102,13 +174,14 @@ def upsample2x_nearest(x: jax.Array) -> jax.Array:
 
 class Upsample(nn.Module):
     out_channels: int
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = upsample2x_nearest(x)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv")(x)
+        return conv2d(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv", quant=self.quant)(x)
 
 
 class LoRADelta(nn.Module):
@@ -146,6 +219,9 @@ class Attention(nn.Module):
     context_dim: Optional[int] = None   # None = self-attention
     lora_rank: int = 0
     ip_num_tokens: int = 0              # only meaningful for cross-attn
+    # W8A8 q/k/v/out projections; the decoupled-IP branch and LoRA deltas
+    # stay float (quant is the post-fold inference path, lora_rank==0 there)
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -160,8 +236,8 @@ class Attention(nn.Module):
             ctx, ip_ctx = ctx[:, :end, :], ctx[:, end:, :]
 
         def proj(name, inp, features):
-            y = nn.Dense(features, use_bias=False, dtype=self.dtype,
-                         name=name)(inp)
+            y = dense(features, use_bias=False, dtype=self.dtype,
+                      name=name, quant=self.quant)(inp)
             if self.lora_rank > 0:
                 y = y + lora_scale * LoRADelta(
                     features, self.lora_rank, dtype=self.dtype,
@@ -190,7 +266,8 @@ class Attention(nn.Module):
                 split_heads(ip_v, self.heads), use_flash=False)
             out = out + ip_scale * merge_heads(ip_out)
 
-        y = nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+        y = dense(inner, dtype=self.dtype, name="to_out",
+                  quant=self.quant)(out)
         if self.lora_rank > 0:
             y = y + lora_scale * LoRADelta(
                 inner, self.lora_rank, dtype=self.dtype,
@@ -201,15 +278,18 @@ class Attention(nn.Module):
 class GEGLUFeedForward(nn.Module):
     dim: int
     mult: int = 4
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        proj = dense(inner * 2, dtype=self.dtype, name="proj",
+                     quant=self.quant)(x)
         h, gate = jnp.split(proj, 2, axis=-1)
         h = h * jax.nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out")(h)
+        return dense(self.dim, dtype=self.dtype, name="out",
+                     quant=self.quant)(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -218,6 +298,7 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int
     lora_rank: int = 0
     ip_num_tokens: int = 0
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -225,17 +306,18 @@ class BasicTransformerBlock(nn.Module):
                  capture_probs=False):
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.dim, self.heads, lora_rank=self.lora_rank,
-                          dtype=self.dtype, name="attn1")(
+                          quant=self.quant, dtype=self.dtype, name="attn1")(
             h, lora_scale=lora_scale)
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(self.dim, self.heads, context_dim=self.context_dim,
                           lora_rank=self.lora_rank,
                           ip_num_tokens=self.ip_num_tokens,
-                          dtype=self.dtype, name="attn2")(
+                          quant=self.quant, dtype=self.dtype, name="attn2")(
             h, context, lora_scale=lora_scale, ip_scale=ip_scale,
             capture_probs=capture_probs)
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(x)
-        return x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x + GEGLUFeedForward(self.dim, quant=self.quant,
+                                    dtype=self.dtype, name="ff")(h)
 
 
 class Transformer2D(nn.Module):
@@ -252,6 +334,7 @@ class Transformer2D(nn.Module):
     groups: int = 32
     lora_rank: int = 0
     ip_num_tokens: int = 0
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -263,21 +346,25 @@ class Transformer2D(nn.Module):
                          dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
             h = h.reshape(b, hh * ww, c)
-            h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
+            h = dense(c, dtype=self.dtype, name="proj_in",
+                      quant=self.quant)(h)
         else:
-            h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(h)
+            h = conv2d(c, (1, 1), padding=0, dtype=self.dtype,
+                       name="proj_in", quant=self.quant)(h)
             h = h.reshape(b, hh * ww, c)
         for i in range(self.depth):
             h = BasicTransformerBlock(
                 dim=c, heads=self.heads, context_dim=self.context_dim,
                 lora_rank=self.lora_rank, ip_num_tokens=self.ip_num_tokens,
-                dtype=self.dtype, name=f"blocks_{i}")(
+                quant=self.quant, dtype=self.dtype, name=f"blocks_{i}")(
                 h, context, lora_scale=lora_scale, ip_scale=ip_scale,
                 capture_probs=capture_probs)
         if self.use_linear_projection:
-            h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+            h = dense(c, dtype=self.dtype, name="proj_out",
+                      quant=self.quant)(h)
             h = h.reshape(b, hh, ww, c)
         else:
             h = h.reshape(b, hh, ww, c)
-            h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+            h = conv2d(c, (1, 1), padding=0, dtype=self.dtype,
+                       name="proj_out", quant=self.quant)(h)
         return h + residual

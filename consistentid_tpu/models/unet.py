@@ -49,6 +49,11 @@ class UNet(nn.Module):
     # MXU (matmul/conv) outputs and recomputes only elementwise chains —
     # usually the TPU speed/memory sweet spot for training.
     remat_policy: str = "full"
+    # W8A8 int8 serving path (ops/quant.py): block convs + attention/FF
+    # projections run on the int8 MXU; conv_in/conv_out, time embeddings,
+    # norms and the IP branch stay float. Inference-only — pair with
+    # lora_rank=0 params produced by quantize_params_like.
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -62,8 +67,35 @@ class UNet(nn.Module):
         capture_layers: Tuple[str, ...] = (),
         down_block_residuals: Optional[Tuple[jax.Array, ...]] = None,
         mid_residual: Optional[jax.Array] = None,
+        deep_feature: Optional[jax.Array] = None,
+        return_deep: bool = False,
     ) -> jax.Array:
+        """Full UNet forward; or, the DeepCache split (Ma et al. 2023 /
+        PAPERS.md training-free acceleration family):
+
+        - return_deep=True: also return the "deep feature" — the hidden
+          state entering the LAST (shallowest) up block, i.e. everything
+          below level 0 (down levels 1.., mid, up blocks 0..n-2).
+        - deep_feature=<cached>: SKIP those deep blocks entirely; run only
+          conv_in + the level-0 down blocks (for fresh shallow skips) and
+          the last up block + conv_out, splicing the cached deep feature
+          in. Timestep/context still enter fresh through the shallow
+          blocks. Exploits the temporal redundancy of low-frequency
+          features across adjacent denoise steps; the cadence is chosen by
+          the sampler (sampling/sampler.py cache_interval).
+
+        Both paths read the same param tree (the shallow path simply
+        leaves the deep-block params untouched).
+        """
         cfg = self.config
+        skip_deep = deep_feature is not None
+        if skip_deep:
+            assert down_block_residuals is None and mid_residual is None, \
+                "deep-feature caching is incompatible with ControlNet " \
+                "residual injection"
+            assert not capture_layers, \
+                "attn-prob capture (training) never runs the cached path"
+            assert not return_deep
         use_linear = cfg.addition_embed_type == "text_time"  # SDXL layout
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -99,8 +131,8 @@ class UNet(nn.Module):
         def res_block(out_ch: int, name: str):
             cls = (nn.remat(ResnetBlock, **remat_kw) if self.remat
                    else ResnetBlock)
-            return cls(out_ch, groups=cfg.norm_num_groups, dtype=self.dtype,
-                       name=name)
+            return cls(out_ch, groups=cfg.norm_num_groups, quant=self.quant,
+                       dtype=self.dtype, name=name)
 
         def transformer(level: int, name: str, block_name: str,
                         depth: Optional[int] = None):
@@ -119,6 +151,7 @@ class UNet(nn.Module):
                 groups=cfg.norm_num_groups,
                 lora_rank=cfg.lora_rank,
                 ip_num_tokens=cfg.ip_num_tokens,
+                quant=self.quant,
                 dtype=self.dtype,
                 name=name,
             )
@@ -133,7 +166,9 @@ class UNet(nn.Module):
                     dtype=self.dtype, name="conv_in")(sample)
         skips = [h]
         n_levels = len(cfg.block_out_channels)
-        for level, out_ch in enumerate(cfg.block_out_channels):
+        down_levels = 1 if skip_deep else n_levels
+        for level in range(down_levels):
+            out_ch = cfg.block_out_channels[level]
             block_name = f"down_{level}"
             for j in range(cfg.layers_per_block):
                 h = res_block(out_ch, f"down_{level}_resnet_{j}")(h, temb)
@@ -142,8 +177,8 @@ class UNet(nn.Module):
                         transformer(level, f"down_{level}_attn_{j}",
                                     block_name), h, block_name)
                 skips.append(h)
-            if level < n_levels - 1:
-                h = Downsample(out_ch, dtype=self.dtype,
+            if level < n_levels - 1 and not skip_deep:
+                h = Downsample(out_ch, quant=self.quant, dtype=self.dtype,
                                name=f"down_{level}_downsample")(h)
                 skips.append(h)
 
@@ -155,36 +190,54 @@ class UNet(nn.Module):
             skips = [s + r.astype(s.dtype)
                      for s, r in zip(skips, down_block_residuals)]
 
-        # -- mid --
-        mid_level = n_levels - 1
-        h = res_block(cfg.block_out_channels[-1], "mid_resnet_0")(h, temb)
-        h = run_transformer(
-            transformer(mid_level, "mid_attn", "mid",
-                        depth=cfg.mid_transformer_depth), h, "mid")
-        h = res_block(cfg.block_out_channels[-1], "mid_resnet_1")(h, temb)
-        if mid_residual is not None:
-            h = h + mid_residual.astype(h.dtype)
+        if skip_deep:
+            # splice the cached deep feature in as the last up block's input
+            h = deep_feature.astype(self.dtype)
+        else:
+            # -- mid --
+            mid_level = n_levels - 1
+            h = res_block(cfg.block_out_channels[-1], "mid_resnet_0")(h, temb)
+            h = run_transformer(
+                transformer(mid_level, "mid_attn", "mid",
+                            depth=cfg.mid_transformer_depth), h, "mid")
+            h = res_block(cfg.block_out_channels[-1], "mid_resnet_1")(h, temb)
+            if mid_residual is not None:
+                h = h + mid_residual.astype(h.dtype)
 
-        # -- up (reversed levels; up block i consumes skips of level
-        #    n_levels-1-i; diffusers up_blocks[0] is the deepest) --
-        for i in range(n_levels):
-            level = n_levels - 1 - i
-            out_ch = cfg.block_out_channels[level]
-            block_name = f"up_{i}"
-            for j in range(cfg.layers_per_block + 1):
-                skip = skips.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = res_block(out_ch, f"up_{i}_resnet_{j}")(h, temb)
-                if cfg.down_block_has_attn[level]:
-                    h = run_transformer(
-                        transformer(level, f"up_{i}_attn_{j}", block_name),
-                        h, block_name)
-            if i < n_levels - 1:
-                h = Upsample(out_ch, dtype=self.dtype,
+            # -- deep up blocks (reversed levels; up block i consumes skips
+            #    of level n_levels-1-i; diffusers up_blocks[0] is deepest) --
+            for i in range(n_levels - 1):
+                level = n_levels - 1 - i
+                out_ch = cfg.block_out_channels[level]
+                block_name = f"up_{i}"
+                for j in range(cfg.layers_per_block + 1):
+                    skip = skips.pop()
+                    h = jnp.concatenate([h, skip], axis=-1)
+                    h = res_block(out_ch, f"up_{i}_resnet_{j}")(h, temb)
+                    if cfg.down_block_has_attn[level]:
+                        h = run_transformer(
+                            transformer(level, f"up_{i}_attn_{j}",
+                                        block_name), h, block_name)
+                h = Upsample(out_ch, quant=self.quant, dtype=self.dtype,
                              name=f"up_{i}_upsample")(h)
+        deep = h
+
+        # -- last (shallowest, level-0) up block --
+        i = n_levels - 1
+        block_name = f"up_{i}"
+        out_ch = cfg.block_out_channels[0]
+        for j in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = res_block(out_ch, f"up_{i}_resnet_{j}")(h, temb)
+            if cfg.down_block_has_attn[0]:
+                h = run_transformer(
+                    transformer(0, f"up_{i}_attn_{j}", block_name),
+                    h, block_name)
 
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
                          dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)
-        return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv_out")(h)
+        out = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv_out")(h)
+        return (out, deep) if return_deep else out

@@ -41,6 +41,7 @@ from ..core.config import (AdapterConfig, PipelineConfig, SchedulerConfig,
                            CLIPVisionConfig, sd15_unet_config)
 from ..models import AutoencoderKL, CLIPTextEncoder, CLIPVisionEncoder, UNet
 from ..models.lora import fold_lora_params
+from ..ops.quant import quantize_params_like
 from ..sampling import CondBranch, NoiseSchedule, denoise, make_plan
 from ..utils.image import center_crop_mask, clip_preprocess, postprocess_to_uint8
 
@@ -94,16 +95,25 @@ class SD15Bundle:
     dtype: Any = jnp.float32
     remat: bool = False   # rematerialize UNet blocks (training memory)
     remat_policy: str = "full"  # "full" | "dots" (save MXU outputs)
+    # "int8": W8A8 UNet serving path (ops/quant.py) — LoRA-folded kernels
+    # quantized once per generate() inside the jitted graph, block convs +
+    # attention/FF projections run on the int8 MXU (2x bf16 peak on v5e).
+    quant: str = "none"
 
     def __post_init__(self):
+        if self.quant not in ("none", "int8"):
+            raise ValueError(f"quant must be 'none' or 'int8': {self.quant}")
         self.unet = UNet(self.unet_config, dtype=self.dtype,
                          remat=self.remat, remat_policy=self.remat_policy)
         # inference twin: LoRA folded into the base kernels (models/lora.py),
-        # so the denoise scan runs a lora_rank=0 graph
+        # so the denoise scan runs a lora_rank=0 graph; with quant="int8" the
+        # twin additionally runs the W8A8 layers
         self.unet_infer = (UNet(
             dataclasses.replace(self.unet_config, lora_rank=0),
-            dtype=self.dtype) if self.unet_config.lora_rank > 0
+            dtype=self.dtype, quant=self.quant == "int8")
+            if self.unet_config.lora_rank > 0 or self.quant != "none"
             else self.unet)
+        self._quant_struct_cache = None
         self.vae = AutoencoderKL(self.vae_config, dtype=self.dtype)
         self.text_encoder = CLIPTextEncoder(self.text_config, dtype=self.dtype)
         self.image_encoder = CLIPVisionEncoder(self.vision_config,
@@ -129,10 +139,43 @@ class SD15Bundle:
     def infer_unet(self, unet_params: Dict, lora_scale):
         """(unet, params) for the inference path: LoRA folded into the base
         kernels once per call (scale may be traced — no recompile on
-        change), so every step of the denoise scan is LoRA-free."""
-        if self.unet_config.lora_rank <= 0:
-            return self.unet, unet_params
-        return self.unet_infer, fold_lora_params(unet_params, lora_scale)
+        change), so every step of the denoise scan is LoRA-free. With
+        quant="int8" the folded kernels are then quantized (per-out-channel
+        symmetric int8 + fp32 scales) — still once per call, amortized over
+        the denoise scan."""
+        if self.unet_config.lora_rank > 0:
+            unet_params = fold_lora_params(unet_params, lora_scale)
+        if self.quant == "int8":
+            unet_params = quantize_params_like(self._quant_param_struct(),
+                                               unet_params)
+        return self.unet_infer, unet_params
+
+    def _quant_param_struct(self):
+        """Param structure (ShapeDtypeStructs) of the quantized inference
+        UNet — the rewrite target for quantize_params_like. Host-side
+        eval_shape, computed once per bundle."""
+        if self._quant_struct_cache is None:
+            dummy_latent, dummy_ctx, added = self._unet_init_args(8)
+            self._quant_struct_cache = jax.eval_shape(
+                lambda: self.unet_infer.init(
+                    jax.random.PRNGKey(0), dummy_latent, jnp.array([0]),
+                    dummy_ctx, added_cond=added))["params"]
+        return self._quant_struct_cache
+
+    def _unet_init_args(self, latent_hw: int):
+        """Dummy (latent, context, added_cond) for UNet init/eval_shape."""
+        a, t = self.adapter_config, self.text_config
+        n_ctx = t.max_position_embeddings + a.num_id_tokens
+        dummy_latent = jnp.zeros((1, latent_hw, latent_hw,
+                                  self.unet_config.sample_channels))
+        dummy_ctx = jnp.zeros((1, n_ctx, self.unet_config.cross_attention_dim))
+        added = None
+        if self.unet_config.addition_embed_type == "text_time":
+            pooled_dim = (self.unet_config.projection_class_embeddings_input_dim
+                          - 6 * self.unet_config.addition_time_embed_dim)
+            added = {"text_embeds": jnp.zeros((1, pooled_dim)),
+                     "time_ids": jnp.zeros((1, 6))}
+        return dummy_latent, dummy_ctx, added
 
     def fast_random_params(self, rng: jax.Array, stddev: float = 0.02,
                            latent_hw: int = 8) -> Dict:
@@ -178,16 +221,7 @@ class SD15Bundle:
         """Random-init the full param bundle (tests / training-from-scratch)."""
         a, t = self.adapter_config, self.text_config
         keys = jax.random.split(rng, 6)
-        n_ctx = t.max_position_embeddings + a.num_id_tokens
-        dummy_latent = jnp.zeros((1, latent_hw, latent_hw,
-                                  self.unet_config.sample_channels))
-        dummy_ctx = jnp.zeros((1, n_ctx, self.unet_config.cross_attention_dim))
-        added = None
-        if self.unet_config.addition_embed_type == "text_time":
-            pooled_dim = (self.unet_config.projection_class_embeddings_input_dim
-                          - 6 * self.unet_config.addition_time_embed_dim)
-            added = {"text_embeds": jnp.zeros((1, pooled_dim)),
-                     "time_ids": jnp.zeros((1, 6))}
+        dummy_latent, dummy_ctx, added = self._unet_init_args(latent_hw)
         vdim = self.vision_config
         return {
             "unet": self.unet.init(keys[0], dummy_latent, jnp.array([0]),
@@ -254,7 +288,7 @@ class ConsistentIDPipeline:
         # so changing them never recompiles (reference set_scale :211-215).
         self._core_jit = jax.jit(
             self._generate_core,
-            static_argnames=("num_steps", "scheduler"))
+            static_argnames=("num_steps", "scheduler", "cache_interval"))
         self._last_core_args = None  # for last_cost_analysis()
 
     # ---------------- host-side prepare ----------------
@@ -387,9 +421,33 @@ class ConsistentIDPipeline:
         text_only = jnp.concatenate([enc_text_only, faceid_tokens], axis=1)
         return null, augmented, text_only
 
+    def _unet_fns(self, unet, unet_params, ip_scale, cache_interval):
+        """(unet_fn, unet_cached_fn) for denoise(). With cache_interval > 1
+        (DeepCache-style reuse, models/unet.py deep_feature) the full fn
+        also returns the deep feature and the cached fn consumes it."""
+        if cache_interval > 1:
+            def unet_fn(x, t, context, added, step_i):
+                return unet.apply(
+                    {"params": unet_params}, x, t, context,
+                    added_cond=added, ip_scale=ip_scale, return_deep=True)
+
+            def unet_cached_fn(x, t, context, added, step_i, deep):
+                return unet.apply(
+                    {"params": unet_params}, x, t, context,
+                    added_cond=added, ip_scale=ip_scale, deep_feature=deep)
+
+            return unet_fn, unet_cached_fn
+
+        def unet_fn(x, t, context, added, step_i):
+            return unet.apply(
+                {"params": unet_params}, x, t, context,
+                added_cond=added, ip_scale=ip_scale)
+
+        return unet_fn, None
+
     def _generate_core(self, params, cond, latents, guidance_scale,
                        start_merge_step, num_steps, scheduler, ip_scale,
-                       lora_scale, rng=None):
+                       lora_scale, rng=None, cache_interval=1):
         null_e, aug_e, text_e = self.encode_embeddings(params, cond)
         # num_images_per_prompt: conditioning is computed once and tiled to
         # the latent batch (reference num_images_per_prompt repeat, :472-477)
@@ -401,16 +459,15 @@ class ConsistentIDPipeline:
         plan = make_plan(self.schedule, scheduler, num_steps)
 
         unet, unet_params = self.bundle.infer_unet(params["unet"], lora_scale)
-
-        def unet_fn(x, t, context, added, step_i):
-            return unet.apply(
-                {"params": unet_params}, x, t, context,
-                added_cond=added, ip_scale=ip_scale)
+        unet_fn, unet_cached_fn = self._unet_fns(unet, unet_params, ip_scale,
+                                                 cache_interval)
 
         final = denoise(unet_fn, latents,
                         CondBranch(context=text_e, null=null_e),
                         CondBranch(context=aug_e, null=null_e),
-                        plan, guidance_scale, start_merge_step, rng=rng)
+                        plan, guidance_scale, start_merge_step, rng=rng,
+                        cache_interval=cache_interval,
+                        unet_cached_fn=unet_cached_fn)
         images = self.bundle.vae.apply(
             {"params": params["vae"]}, final, method=AutoencoderKL.decode)
         return images
@@ -454,12 +511,15 @@ class ConsistentIDPipeline:
         return_latents: bool = False,
         num_images_per_prompt: int = 1,
         return_device: bool = False,
+        cache_interval: Optional[int] = None,
     ) -> np.ndarray:
         cfg = self.config
         height = height or cfg.height
         width = width or cfg.width
         num_steps = num_inference_steps or cfg.num_inference_steps
         scheduler = scheduler or cfg.scheduler
+        cache_interval = (cache_interval if cache_interval is not None
+                          else cfg.cache_interval)
 
         cond = self.prepare_conditioning(
             prompt, face_image, parsing_labels=parsing_labels,
@@ -490,7 +550,8 @@ class ConsistentIDPipeline:
             jnp.int32(start_merge_step if start_merge_step is not None
                       else cfg.start_merge_step),
             num_steps, scheduler, jnp.float32(ip_scale),
-            jnp.float32(lora_scale), jax.random.fold_in(rng, 1))
+            jnp.float32(lora_scale), jax.random.fold_in(rng, 1),
+            cache_interval)
         images = self._core_jit(*self._last_core_args)
         if return_device:
             return images
@@ -580,7 +641,8 @@ class ConsistentIDPipeline:
             jnp.int32(merge), num_steps, scheduler,
             jnp.float32(kwargs.pop("ip_scale", 1.0)),
             jnp.float32(kwargs.pop("lora_scale", 1.0)),
-            jax.random.fold_in(rng, 1))
+            jax.random.fold_in(rng, 1),
+            kwargs.pop("cache_interval", cfg.cache_interval))
         images = self._core_jit(*self._last_core_args)
         if kwargs.pop("return_device", False):
             return images

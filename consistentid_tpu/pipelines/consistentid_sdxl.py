@@ -149,7 +149,7 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
 
     def _generate_core(self, params, cond, latents, guidance_scale,
                        start_merge_step, num_steps, scheduler, ip_scale,
-                       lora_scale, rng=None):
+                       lora_scale, rng=None, cache_interval=1):
         text_b, facial_b = self.encode_embeddings_xl(params, cond)
         n = latents.shape[0]
         time_ids = cond["time_ids"]
@@ -165,15 +165,13 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
         plan = make_plan(self.schedule, scheduler, num_steps)
 
         unet, unet_params = self.bundle.infer_unet(params["unet"], lora_scale)
-
-        def unet_fn(x, t, context, added, step_i):
-            return unet.apply(
-                {"params": unet_params}, x, t, context,
-                added_cond=added, ip_scale=ip_scale)
+        unet_fn, unet_cached_fn = self._unet_fns(unet, unet_params, ip_scale,
+                                                 cache_interval)
 
         final = denoise(unet_fn, latents, text_b, facial_b, plan,
                         guidance_scale, start_merge_step, rng=rng,
-                        time_ids=time_ids)
+                        time_ids=time_ids, cache_interval=cache_interval,
+                        unet_cached_fn=unet_cached_fn)
         if self.bundle.vae_config.force_upcast:
             # fp32 VAE decode (SDXL force_upcast path, reference :670-672 —
             # gated on the vae config exactly like the reference)

@@ -147,17 +147,21 @@ def load_sd15_consistentid(
     pipeline_config: Optional[PipelineConfig] = None,
     with_safety_checker: bool = True,
     bundle: Optional[SD15Bundle] = None,
+    quant: str = "none",
 ) -> ConsistentIDPipeline:
     """Assemble the SD1.5 ConsistentID pipeline from local checkpoints.
 
     bundle: override the model configs (default: full-size SD1.5) — used by
-    apps.validate to drive the full load path at toy scale."""
+    apps.validate to drive the full load path at toy scale.
+    quant: "int8" enables the W8A8 UNet serving path (ops/quant.py) —
+    checkpoints stay float; kernels are quantized inside the jitted graph."""
     bundle = bundle or SD15Bundle(
         unet_config=sd15_unet_config(lora_rank=lora_rank,
                                      ip_num_tokens=num_tokens),
         adapter_config=AdapterConfig(lora_rank=lora_rank,
                                      num_id_tokens=num_tokens),
         dtype=dtype,
+        quant=quant,
     )
     params = bundle.init_params(jax.random.PRNGKey(0))
 
@@ -221,6 +225,7 @@ def load_sdxl_consistentid(
     num_tokens: int = 4,
     pipeline_config: Optional[PipelineConfig] = None,
     bundle=None,
+    quant: str = "none",
 ):
     """Assemble the SDXL ConsistentID pipeline from local checkpoints
     (reference pipline_StableDiffusionXL_ConsistentID.py:104-176: prefixes
@@ -237,6 +242,7 @@ def load_sdxl_consistentid(
                                            num_id_tokens=num_tokens),
         vae_config=VAEConfig(scaling_factor=0.13025, force_upcast=True),
         dtype=dtype,
+        quant=quant,
     )
     params = bundle.init_params(jax.random.PRNGKey(0))
     _deep_update(params["unet"], unet_from_diffusers(

@@ -51,11 +51,29 @@ def denoise(
     time_ids: Optional[jax.Array] = None,   # (B, 6) SDXL micro-conditioning
     inpaint_mask: Optional[jax.Array] = None,     # (B, h, w, 1) latent-res
     inpaint_targets: Optional[jax.Array] = None,  # (T, B, h, w, C)
+    cache_interval: int = 1,
+    unet_cached_fn: Optional[Callable] = None,
 ) -> jax.Array:
-    """Run the full sampler; returns final latents (scaled latent space)."""
+    """Run the full sampler; returns final latents (scaled latent space).
+
+    cache_interval > 1 enables DeepCache-style deep-feature reuse
+    (training-free acceleration, PAPERS.md family; models/unet.py
+    deep_feature docstring): every `cache_interval`-th step runs the full
+    UNet via `unet_fn`, which must then return (eps, deep_feature); the
+    steps in between run `unet_cached_fn(latents, t, context, added, i,
+    deep)` — only the shallow level-0 blocks — splicing the cached deep
+    feature in. One lax.cond per step, both branches compiled once; the
+    cadence table is baked into the scan inputs so the interval is a
+    static compile-time choice.
+    """
     steps = plan.stacked()                     # (T, 5)
     step_idx = jnp.arange(plan.num_steps)
     latents = latents * plan.init_scale
+    use_cache = cache_interval > 1
+    if use_cache:
+        assert unet_cached_fn is not None, \
+            "cache_interval > 1 needs a shallow-path unet_cached_fn"
+        full_flags = (step_idx % cache_interval) == 0  # step 0 always full
 
     ctx_stack = jnp.stack([text_branch.context, facial_branch.context])
     null_stack = jnp.stack([text_branch.null, facial_branch.null])
@@ -81,8 +99,12 @@ def denoise(
     is_pndm = plan.kind == "pndm"
 
     def body(carry, scan_in):
-        x, prev_x0, cur_sample, e_hist = carry
-        i, consts, key = scan_in
+        if use_cache:
+            x, prev_x0, cur_sample, e_hist, deep = carry
+            i, consts, key, full_flag = scan_in
+        else:
+            x, prev_x0, cur_sample, e_hist = carry
+            i, consts, key = scan_in
         t, c_in = consts[0], consts[1]
         context = jnp.concatenate(
             [select(i, null_stack), select(i, ctx_stack)], axis=0)
@@ -96,7 +118,18 @@ def denoise(
             }
         latent_in = jnp.concatenate([x, x], axis=0) * c_in.astype(x.dtype)
         t_batch = jnp.broadcast_to(t, (latent_in.shape[0],))
-        eps = unet_fn(latent_in, t_batch, context, added, i)
+        if use_cache:
+            # full step refreshes the deep feature; cached step reuses it
+            # and runs only the shallow blocks (closure capture of the
+            # step's latents/context is lifted into both branches)
+            eps, deep = jax.lax.cond(
+                full_flag,
+                lambda d: unet_fn(latent_in, t_batch, context, added, i),
+                lambda d: (unet_cached_fn(latent_in, t_batch, context,
+                                          added, i, d), d),
+                deep)
+        else:
+            eps = unet_fn(latent_in, t_batch, context, added, i)
         eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
         eps = eps_uncond + guidance_scale.astype(eps.dtype) * (
             eps_cond - eps_uncond)
@@ -140,10 +173,31 @@ def denoise(
             x_next = ((1.0 - inpaint_mask).astype(x.dtype) *
                       target.astype(x.dtype)
                       + inpaint_mask.astype(x.dtype) * x_next)
+        if use_cache:
+            return (x_next, prev_x0, cur_sample, e_hist, deep), None
         return (x_next, prev_x0, cur_sample, e_hist), None
 
     init = (latents, jnp.zeros_like(latents), jnp.zeros_like(latents),
             jnp.zeros((3, *latents.shape), latents.dtype))
+    if use_cache:
+        # carry slot for the deep feature; its shape comes from tracing the
+        # full step once (no FLOPs). flags[0] is True, so the zeros init is
+        # never consumed.
+        ctx0 = jnp.concatenate([null_stack[0], ctx_stack[0]], axis=0)
+        added0 = None
+        if has_pooled:
+            added0 = {"text_embeds": jnp.concatenate(
+                [pooled_null_stack[0], pooled_stack[0]], axis=0),
+                "time_ids": time_ids2}
+        deep_struct = jax.eval_shape(
+            lambda x, c: unet_fn(
+                jnp.concatenate([x, x], axis=0),
+                jnp.zeros((2 * x.shape[0],), steps.dtype), c, added0, 0)[1],
+            latents, ctx0)
+        init = init + (jnp.zeros(deep_struct.shape, deep_struct.dtype),)
+        (final, *_), _ = jax.lax.scan(
+            body, init, (step_idx, steps, noise_keys, full_flags))
+        return final
     (final, _, _, _), _ = jax.lax.scan(
         body, init, (step_idx, steps, noise_keys))
     return final

@@ -22,9 +22,11 @@ from PIL import Image
 
 
 def main():
+    import sys
+    quant = sys.argv[1] if len(sys.argv) > 1 else "none"
     bundle = SD15Bundle(
         unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
-        adapter_config=AdapterConfig(), dtype=jnp.bfloat16)
+        adapter_config=AdapterConfig(), dtype=jnp.bfloat16, quant=quant)
     params = bundle.fast_random_params(jax.random.PRNGKey(0))
     pipe = ConsistentIDPipeline(
         bundle, params, SimpleTokenizer(),

@@ -17,8 +17,8 @@ from consistentid_tpu.core.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-STEPS = 50
-ITERS = 6
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 
 
 def timed(fn, x):
