@@ -63,11 +63,27 @@ def build_parser():
                    help="SDXL base (reference infer_SDXL.py defaults: "
                         "864x1152, CFG 7.5)")
     p.add_argument("--tokenizer-2", default=None)
+    p.add_argument("--init-image", default=None,
+                   help="img2img: edit this image instead of starting from "
+                        "noise (SD1.5 only); with --mask-image, inpaint it "
+                        "(reference demo/inpaint_demo.py)")
+    p.add_argument("--mask-image", default=None,
+                   help="binary inpaint mask (white = regenerate); requires "
+                        "--init-image")
+    p.add_argument("--strength", type=float, default=0.8,
+                   help="img2img/inpaint: fraction of the schedule applied "
+                        "to the init image (1.0 = ignore init content)")
     return p
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.mask_image and not args.init_image:
+        parser.error("--mask-image requires --init-image")
+    if args.init_image and args.sdxl:
+        parser.error("--init-image is SD1.5-only (the reference has no "
+                     "SDXL img2img/inpaint variant either)")
 
     from PIL import Image
 
@@ -109,15 +125,30 @@ def main(argv=None):
         pipe = load_sdxl_consistentid(args.base, tokenizer_2=tokenizer_2,
                                       **kw)
     else:
+        if args.init_image:
+            from ..pipelines import (ConsistentIDImg2ImgPipeline,
+                                     ConsistentIDInpaintPipeline)
+            kw["pipeline_cls"] = (ConsistentIDInpaintPipeline
+                                  if args.mask_image
+                                  else ConsistentIDImg2ImgPipeline)
         pipe = load_sd15_consistentid(args.base, **kw)
 
     face = Image.open(args.image)
-    imgs = pipe.generate(args.prompt, face,
-                         negative_prompt=args.negative_prompt,
-                         seed=args.seed,
-                         ip_scale=args.ip_scale, lora_scale=args.lora_scale,
-                         num_images_per_prompt=args.num_images,
-                         cache_interval=args.cache_interval)
+    gen_kw = dict(negative_prompt=args.negative_prompt, seed=args.seed,
+                  ip_scale=args.ip_scale, lora_scale=args.lora_scale)
+    if args.init_image:
+        init = Image.open(args.init_image)
+        if args.mask_image:
+            imgs = pipe.generate(args.prompt, face, init,
+                                 Image.open(args.mask_image),
+                                 strength=args.strength, **gen_kw)
+        else:
+            imgs = pipe.generate(args.prompt, face, init,
+                                 strength=args.strength, **gen_kw)
+    else:
+        imgs = pipe.generate(args.prompt, face,
+                             num_images_per_prompt=args.num_images,
+                             cache_interval=args.cache_interval, **gen_kw)
     stem, ext = (args.out.rsplit(".", 1) + ["png"])[:2]
     for i, img in enumerate(imgs):
         name = args.out if len(imgs) == 1 else f"{stem}_{i}.{ext}"

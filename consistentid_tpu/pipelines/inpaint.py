@@ -189,8 +189,8 @@ class ConsistentIDControlNetInpaintPipeline(ConsistentIDInpaintPipeline):
     """Adds per-step ControlNet residuals (control image, keep schedule).
 
     Construct with controlnet=(ControlNet config or model) and its params in
-    params["controlnet"]. Guess mode is not yet implemented (reference
-    :389-392) — tracked for a follow-up.
+    params["controlnet"]. guess_mode=True conditions the text branch only
+    (reference :389-392) by zeroing the uncond half's residuals.
     """
 
     def __init__(self, *args, controlnet: Optional[ControlNet] = None,

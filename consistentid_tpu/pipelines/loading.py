@@ -148,13 +148,17 @@ def load_sd15_consistentid(
     with_safety_checker: bool = True,
     bundle: Optional[SD15Bundle] = None,
     quant: str = "none",
+    pipeline_cls: type = None,
 ) -> ConsistentIDPipeline:
     """Assemble the SD1.5 ConsistentID pipeline from local checkpoints.
 
     bundle: override the model configs (default: full-size SD1.5) — used by
     apps.validate to drive the full load path at toy scale.
     quant: "int8" enables the W8A8 UNet serving path (ops/quant.py) —
-    checkpoints stay float; kernels are quantized inside the jitted graph."""
+    checkpoints stay float; kernels are quantized inside the jitted graph.
+    pipeline_cls: ConsistentIDPipeline subclass to assemble (img2img /
+    inpaint / controlnet-inpaint share the same checkpoint layout, matching
+    the reference Base-mixin composition, pipelines/BaseConsistentID.py)."""
     bundle = bundle or SD15Bundle(
         unet_config=sd15_unet_config(lora_rank=lora_rank,
                                      ip_num_tokens=num_tokens),
@@ -201,7 +205,7 @@ def load_sd15_consistentid(
     if tokenizer is None:
         tokenizer = _default_tokenizer(base_dir)
 
-    return ConsistentIDPipeline(
+    return (pipeline_cls or ConsistentIDPipeline)(
         bundle, params, tokenizer, pipeline_config=pipeline_config,
         face_parser=face_parser, face_embedder=face_embedder,
         safety_checker=safety_checker)

@@ -80,3 +80,34 @@ def test_infer_cli_sdxl(synth_dir, face_path, tmp_path):
     img = np.asarray(Image.open(out))
     assert img.shape == (64, 64, 3)
     assert int(img.max()) != int(img.min())
+
+
+def test_infer_cli_img2img_and_inpaint(synth_dir, face_path, tmp_path):
+    init = str(tmp_path / "init.png")
+    mask = str(tmp_path / "mask.png")
+    Image.fromarray(np.random.default_rng(1).integers(
+        0, 255, (64, 64, 3), np.uint8)).save(init)
+    m = np.zeros((64, 64), np.uint8)
+    m[16:48, 16:48] = 255
+    Image.fromarray(m).save(mask)
+
+    out = str(tmp_path / "i2i.png")
+    _run(synth_dir, face_path, out,
+         ["--init-image", init, "--strength", "0.5"])
+    img = np.asarray(Image.open(out))
+    assert img.shape == (64, 64, 3) and int(img.max()) != int(img.min())
+
+    out2 = str(tmp_path / "inp.png")
+    _run(synth_dir, face_path, out2,
+         ["--init-image", init, "--mask-image", mask, "--strength", "0.5"])
+    img2 = np.asarray(Image.open(out2))
+    assert img2.shape == (64, 64, 3) and int(img2.max()) != int(img2.min())
+
+
+def test_infer_cli_rejects_bad_img2img_combos(synth_dir, face_path, tmp_path):
+    with pytest.raises(SystemExit):
+        _run(synth_dir, face_path, str(tmp_path / "x.png"),
+             ["--mask-image", face_path])  # mask without init
+    with pytest.raises(SystemExit):
+        _run(synth_dir, face_path, str(tmp_path / "y.png"),
+             ["--init-image", face_path, "--sdxl"])
