@@ -58,8 +58,12 @@ dryrun_multichip(8)" > /tmp/gate/dryrun.log 2>&1 && dryrun_ok=1
 bench_ok=1; bench_line="(skipped)"
 if [ "$NO_TPU" != "--no-tpu" ]; then
   bench_ok=0
-  bench_line=$(timeout 1800 python bench.py --tiny --iters 2 2>/dev/null | tail -1)
-  echo "$bench_line" | grep -q '"images/min"' && bench_ok=1
+  # FULL bench with a stored perf floor (VERDICT r3 weak #2: a gate that
+  # only greps for the JSON line lets a 10x slowdown pass). The floors live
+  # in scripts/perf_floor.json; a throughput or MFU regression FAILS the
+  # gate, not just the formatting.
+  bench_line=$(timeout 2700 python bench.py --iters 2 2>/dev/null | tail -1)
+  echo "$bench_line" | python scripts/perf_floor.py && bench_ok=1
 fi
 
 ok=$((pytest_ok * dryrun_ok * bench_ok))
