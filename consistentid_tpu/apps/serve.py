@@ -69,13 +69,29 @@ def _buckets(max_batch: int) -> List[int]:
 class MicroBatcher:
     """Collects requests for up to `window_ms` (or `max_batch`), pads the
     drained batch to the nearest bucket size, and runs it as one
-    generate_batch call on a dedicated worker thread."""
+    generate_batch call on a dedicated worker thread.
+
+    When the pipeline carries a device mesh (pipeline.mesh), every bucket is
+    a multiple of the mesh size so generate_batch's data-parallel sharding
+    always engages: a bucket batch is split over the mesh's `data` axis and
+    the whole encode+denoise+decode graph runs SPMD across the chips —
+    serving throughput scales with the slice, one HTTP frontend."""
 
     def __init__(self, pipeline, max_batch: int = 4, window_ms: float = 30.0):
         self.pipeline = pipeline
+        mesh = getattr(pipeline, "mesh", None)
+        self.mesh_size = int(mesh.devices.size) if mesh is not None else 1
+        if self.mesh_size > 1:
+            # buckets {D, 2D, 4D, ...}: never run a graph the mesh can't
+            # shard (max_batch is rounded up to at least one full mesh row)
+            max_batch = max(max_batch, self.mesh_size)
+            max_batch = -(-max_batch // self.mesh_size) * self.mesh_size
+            self.buckets = [b * self.mesh_size
+                            for b in _buckets(max_batch // self.mesh_size)]
+        else:
+            self.buckets = _buckets(max_batch)
         self.max_batch = max_batch
         self.window_ms = window_ms
-        self.buckets = _buckets(max_batch)
         self._queue: List[_Pending] = []
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -268,6 +284,11 @@ def main(argv=None):
     p.add_argument("--max-image-px", type=int, default=MAX_IMAGE_PX)
     p.add_argument("--no-warmup", action="store_true",
                    help="skip compiling all batch buckets at startup")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel serving over N devices (1 = single "
+                        "device, 0 = all visible devices): batch buckets "
+                        "become multiples of N and each bucket is sharded "
+                        "over a jax Mesh data axis")
     args, _ = p.parse_known_args(argv)
 
     from ..core.cache import enable_compilation_cache
@@ -275,10 +296,18 @@ def main(argv=None):
     from ..pipelines.loading import load_sd15_consistentid
 
     enable_compilation_cache()
+    mesh = None
+    if args.dp != 1:
+        import jax
+
+        from ..parallel import make_mesh
+        devs = jax.devices() if args.dp == 0 else jax.devices()[:args.dp]
+        if len(devs) > 1:
+            mesh = make_mesh(devs)
     pipe = load_sd15_consistentid(
         args.base, consistentid_path=args.consistentid,
         image_encoder_path=args.image_encoder, bisenet_path=args.bisenet,
-        arcface_path=args.arcface, quant=args.quant,
+        arcface_path=args.arcface, quant=args.quant, mesh=mesh,
         pipeline_config=PipelineConfig(
             height=args.height, width=args.width,
             num_inference_steps=args.steps,

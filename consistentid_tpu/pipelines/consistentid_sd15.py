@@ -95,6 +95,11 @@ class SD15Bundle:
     dtype: Any = jnp.float32
     remat: bool = False   # rematerialize UNet blocks (training memory)
     remat_policy: str = "full"  # "full" | "dots" (save MXU outputs)
+    # restructured GroupNorm+SiLU in the TRAINING UNet (ops/group_norm.py)
+    # — A/B lever for the bandwidth-bound norm share of the train step;
+    # the inference twin always runs the stock nn.GroupNorm (measured
+    # faster in the denoise scan, 558410e)
+    fused_gn: bool = False
     # "int8": W8A8 UNet serving path (ops/quant.py) — LoRA-folded kernels
     # quantized once per generate() inside the jitted graph, block convs +
     # attention/FF projections run on the int8 MXU (2x bf16 peak on v5e).
@@ -104,7 +109,8 @@ class SD15Bundle:
         if self.quant not in ("none", "int8"):
             raise ValueError(f"quant must be 'none' or 'int8': {self.quant}")
         self.unet = UNet(self.unet_config, dtype=self.dtype,
-                         remat=self.remat, remat_policy=self.remat_policy)
+                         remat=self.remat, remat_policy=self.remat_policy,
+                         fused_gn=self.fused_gn)
         # inference twin: LoRA folded into the base kernels (models/lora.py),
         # so the denoise scan runs a lora_rank=0 graph; with quant="int8" the
         # twin additionally runs the W8A8 layers
@@ -636,6 +642,17 @@ class ConsistentIDPipeline:
         else:
             rng = jax.random.PRNGKey(seed)
             latents = jax.random.normal(rng, (n, *shape), jnp.float32)
+        if self.mesh is not None and n % self.mesh.devices.size == 0:
+            # data-parallel request batch (serving): every cond row aligns
+            # with its latent row (facial-region keys carry 5 rows per
+            # request, contiguous per request, so dim-0 sharding keeps each
+            # request's rows on one device). XLA partitions the whole
+            # compiled graph over the mesh's data axis.
+            from ..parallel import data_sharding
+            latents = jax.device_put(
+                latents, data_sharding(self.mesh, latents.ndim))
+            cond = {k: jax.device_put(v, data_sharding(self.mesh, v.ndim))
+                    for k, v in cond.items()}
         self._last_core_args = (
             self.params, cond, latents, jnp.float32(guidance),
             jnp.int32(merge), num_steps, scheduler,

@@ -65,7 +65,8 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
 
     def __init__(self, bundle: SDXLBundle, params: Dict, tokenizer,
                  tokenizer_2=None, pipeline_config=None,
-                 scheduler_config=None, face_parser=None, face_embedder=None):
+                 scheduler_config=None, face_parser=None, face_embedder=None,
+                 mesh=None):
         if pipeline_config is None:
             pipeline_config = PipelineConfig(
                 height=1024, width=1024, guidance_scale=7.5,
@@ -74,7 +75,8 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
                          pipeline_config=pipeline_config,
                          scheduler_config=scheduler_config,
                          face_parser=face_parser,
-                         face_embedder=face_embedder)
+                         face_embedder=face_embedder,
+                         mesh=mesh)
         self.tokenizer_2 = tokenizer_2 or tokenizer
         if hasattr(self.tokenizer_2, "add_tokens"):
             self.tokenizer_2.add_tokens(["<|image|>", "<|facial|>"])

@@ -149,6 +149,7 @@ def load_sd15_consistentid(
     bundle: Optional[SD15Bundle] = None,
     quant: str = "none",
     pipeline_cls: type = None,
+    mesh=None,
 ) -> ConsistentIDPipeline:
     """Assemble the SD1.5 ConsistentID pipeline from local checkpoints.
 
@@ -157,8 +158,18 @@ def load_sd15_consistentid(
     quant: "int8" enables the W8A8 UNet serving path (ops/quant.py) —
     checkpoints stay float; kernels are quantized inside the jitted graph.
     pipeline_cls: ConsistentIDPipeline subclass to assemble (img2img /
-    inpaint / controlnet-inpaint share the same checkpoint layout, matching
-    the reference Base-mixin composition, pipelines/BaseConsistentID.py)."""
+    inpaint share the same checkpoint layout, matching the reference
+    Base-mixin composition, pipelines/BaseConsistentID.py). Classes needing
+    params this loader does not assemble (controlnet-inpaint requires
+    params["controlnet"]) are rejected — construct those directly."""
+    if pipeline_cls is not None:
+        from .inpaint import ConsistentIDControlNetInpaintPipeline
+        if issubclass(pipeline_cls, ConsistentIDControlNetInpaintPipeline):
+            raise ValueError(
+                "load_sd15_consistentid does not assemble "
+                "params['controlnet']; construct "
+                "ConsistentIDControlNetInpaintPipeline directly with a "
+                "loaded ControlNet (see pipelines/inpaint.py)")
     bundle = bundle or SD15Bundle(
         unet_config=sd15_unet_config(lora_rank=lora_rank,
                                      ip_num_tokens=num_tokens),
@@ -208,7 +219,7 @@ def load_sd15_consistentid(
     return (pipeline_cls or ConsistentIDPipeline)(
         bundle, params, tokenizer, pipeline_config=pipeline_config,
         face_parser=face_parser, face_embedder=face_embedder,
-        safety_checker=safety_checker)
+        safety_checker=safety_checker, mesh=mesh)
 
 
 # discoverability alias matching the reference method name
@@ -230,6 +241,7 @@ def load_sdxl_consistentid(
     pipeline_config: Optional[PipelineConfig] = None,
     bundle=None,
     quant: str = "none",
+    mesh=None,
 ):
     """Assemble the SDXL ConsistentID pipeline from local checkpoints
     (reference pipline_StableDiffusionXL_ConsistentID.py:104-176: prefixes
@@ -277,4 +289,4 @@ def load_sdxl_consistentid(
     return ConsistentIDXLPipeline(
         bundle, params, tokenizer, tokenizer_2=tokenizer_2,
         pipeline_config=pipeline_config, face_parser=face_parser,
-        face_embedder=face_embedder)
+        face_embedder=face_embedder, mesh=mesh)
