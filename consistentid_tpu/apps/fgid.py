@@ -189,11 +189,29 @@ def run_mask(images_dir: str, out_dir: str, bisenet_path: str,
 
 
 def run_caption(images_dir: str, out_dir: str,
-                captioner: Optional[Callable] = None):
+                captioner: Optional[Callable] = None,
+                batch_size: int = 1):
     """Caption stage; captioner(image_path) -> (caption, facial_caption).
     Default emits the fixed template the reference inference path uses
-    (pipline_StableDiffusion_ConsistentID.py:284)."""
+    (pipline_StableDiffusion_ConsistentID.py:284).
+
+    batch_size > 1 on a batch-capable captioner (LlavaCaptioner
+    .caption_batch) stacks images through one decode dispatch per prompt;
+    the final short chunk is padded by repeating the last image so the jit
+    serves exactly one batch shape."""
     paths = _image_paths(images_dir)
+    batched = batch_size > 1 and hasattr(captioner, "caption_batch")
+    if batched:
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start:start + batch_size]
+            padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
+            results = captioner.caption_batch(padded)[: len(chunk)]
+            for p, (caption, detail) in zip(chunk, results):
+                _update_json(out_dir, p, {
+                    "vqa_llva": caption,
+                    "vqa_llva_more_face_detail": detail})
+        print(f"captioned {len(paths)} images (batch {batch_size})")
+        return
     for p in paths:
         if captioner is not None:
             caption, detail = captioner(p)
@@ -289,6 +307,11 @@ def main(argv=None):
                             help="HF llava-1.5 checkpoint dir to run the "
                                  "in-repo TPU LLaVA captioner "
                                  "(conditioning.captioner.LlavaCaptioner)")
+            sp.add_argument("--batch", type=int, default=1,
+                            help="images per decode dispatch for batch-"
+                                 "capable captioners (LlavaCaptioner); the "
+                                 "KV cache and greedy decode are batch-"
+                                 "shaped so B images cost ~1 execution")
         if stage == "faceid":
             sp.add_argument("--arcface", required=True)
             sp.add_argument("--batch-size", type=int, default=32)
@@ -301,7 +324,8 @@ def main(argv=None):
         captioner = make_captioner(args.captioner_cmd, args.captioner_url,
                                    args.captioner_llava)
         try:
-            run_caption(args.images, args.out, captioner)
+            run_caption(args.images, args.out, captioner,
+                        batch_size=args.batch)
         finally:
             if hasattr(captioner, "close"):
                 captioner.close()

@@ -127,22 +127,50 @@ class LlavaCaptioner:
             post = post[1:]
         return np.asarray(pre, np.int32), np.asarray(post, np.int32)
 
-    def generate(self, image, prompt: str) -> str:
-        import numpy as np
+    def _decode_row(self, toks) -> str:
+        # pads (0) only ever appear after EOS, so cutting at EOS is enough
+        eos = int(self.tokenizer.eos_token_id)
+        ids = toks[:toks.index(eos)] if eos in toks else toks
+        return self.tokenizer.decode(ids, skip_special_tokens=True).strip()
 
+    def _pixels(self, image):
         from ..models.llava import preprocess_image
 
         if isinstance(image, str):
             from PIL import Image
             image = Image.open(image)
-        pixels = preprocess_image(image, self.config.vision.image_size)
+        return preprocess_image(image, self.config.vision.image_size)
+
+    def generate(self, image, prompt: str) -> str:
+        import numpy as np
+
         pre, post = self._encode_parts(prompt)
-        out = np.asarray(self._fn(self.params, pixels, pre, post))[0]
-        # pads (0) only ever appear after EOS, so cutting at EOS is enough
-        toks = out.tolist()
-        eos = int(self.tokenizer.eos_token_id)
-        ids = toks[:toks.index(eos)] if eos in toks else toks
-        return self.tokenizer.decode(ids, skip_special_tokens=True).strip()
+        out = np.asarray(self._fn(self.params, self._pixels(image),
+                                  pre, post))[0]
+        return self._decode_row(out.tolist())
+
+    def generate_batch(self, images, prompt: str) -> list:
+        """One prefill+decode dispatch over a stacked image batch — the
+        KV cache, splice, and while-loop decode are all batch-shaped
+        (models/llama.py greedy_generate), so B images cost one graph
+        execution instead of B. The FGID prompt is shared across the batch
+        (the protocol runs one fixed prompt per pass over the corpus), so
+        the spliced pre/post embeddings tile for free. The jit specializes
+        per (B, prompt) — drive fixed-size chunks (apps/fgid.py --batch)
+        so a corpus costs two compilations per batch size."""
+        import numpy as np
+
+        pre, post = self._encode_parts(prompt)
+        pixels = np.concatenate([self._pixels(im) for im in images])
+        out = np.asarray(self._fn(self.params, pixels, pre, post))
+        return [self._decode_row(row.tolist()) for row in out]
+
+    def caption_batch(self, images) -> list:
+        """[(caption, facial_detail_caption)] for a batch of images; two
+        batched passes (one per FGID prompt)."""
+        caps = self.generate_batch(images, self.caption_prompt)
+        details = self.generate_batch(images, self.detail_prompt)
+        return list(zip(caps, details))
 
     def __call__(self, image) -> Tuple[str, str]:
         return (self.generate(image, self.caption_prompt),
