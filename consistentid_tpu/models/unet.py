@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..core.config import UNetConfig
 from .layers import (Downsample, ResnetBlock, TimestepEmbedding,
-                     Transformer2D, Upsample, timestep_embedding)
+                     Transformer2D, Upsample, group_norm_silu,
+                     timestep_embedding)
 
 UNET_LAYER_NAMES = ("down_0", "down_1", "down_2", "mid", "up_1", "up_2", "up_3")
 
@@ -54,6 +55,10 @@ class UNet(nn.Module):
     # norms and the IP branch stay float. Inference-only — pair with
     # lora_rank=0 params produced by quantize_params_like.
     quant: bool = False
+    # restructured GroupNorm+SiLU (ops/group_norm.py) in the resnet blocks
+    # and conv_norm_out — A/B lever for the training graph's bandwidth-
+    # bound norm share; identical params and math, off by default
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(
@@ -132,7 +137,7 @@ class UNet(nn.Module):
             cls = (nn.remat(ResnetBlock, **remat_kw) if self.remat
                    else ResnetBlock)
             return cls(out_ch, groups=cfg.norm_num_groups, quant=self.quant,
-                       dtype=self.dtype, name=name)
+                       fused_gn=self.fused_gn, dtype=self.dtype, name=name)
 
         def transformer(level: int, name: str, block_name: str,
                         depth: Optional[int] = None):
@@ -235,9 +240,8 @@ class UNet(nn.Module):
                     transformer(0, f"up_{i}_attn_{j}", block_name),
                     h, block_name)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = group_norm_silu(h, cfg.norm_num_groups, self.dtype,
+                            "conv_norm_out", self.fused_gn)
         out = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                       name="conv_out")(h)
         return (out, deep) if return_deep else out

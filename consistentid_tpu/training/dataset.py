@@ -154,15 +154,53 @@ class FGIDDataset:
             "bg_masks": bg_mask,
         }
 
-    def batches(self, batch_size: int, shuffle: bool = True, epochs: int = 1):
+    def batches(self, batch_size: int, shuffle: bool = True, epochs: int = 1,
+                workers: int = 0, prefetch: Optional[int] = None):
+        """Yield stacked fixed-shape batches.
+
+        workers > 0 builds up to `prefetch` batches concurrently on a
+        thread pool (the reference's DataLoader num_workers,
+        train.py:201-207) while the accelerator consumes the head —
+        decode/resize release the GIL, so host cores overlap the TPU step.
+        Batches still arrive in schedule order. Like torch's worker pool,
+        the CFG-dropout rng draws then interleave across threads, so
+        workers > 0 trades exact dropout reproducibility for throughput
+        (the example CONTENT for a given index is unchanged)."""
         order = list(range(len(self)))
-        for _ in range(epochs):
-            if shuffle:
-                self.rng.shuffle(order)
-            for start in range(0, len(order) - batch_size + 1, batch_size):
-                examples = [self[j] for j in order[start:start + batch_size]]
-                yield {k: np.stack([e[k] for e in examples])
-                       for k in examples[0]}
+
+        def index_batches():
+            for _ in range(epochs):
+                if shuffle:
+                    self.rng.shuffle(order)
+                for start in range(0, len(order) - batch_size + 1,
+                                   batch_size):
+                    yield list(order[start:start + batch_size])
+
+        def build(idxs):
+            examples = [self[j] for j in idxs]
+            return {k: np.stack([e[k] for e in examples])
+                    for k in examples[0]}
+
+        if workers <= 0:
+            for idxs in index_batches():
+                yield build(idxs)
+            return
+
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = prefetch if prefetch is not None else 2 * workers
+        gen = index_batches()
+        with ThreadPoolExecutor(workers) as pool:
+            queue = deque(pool.submit(build, idxs)
+                          for idxs in itertools.islice(gen, depth))
+            while queue:
+                head = queue.popleft()
+                nxt = next(gen, None)
+                if nxt is not None:
+                    queue.append(pool.submit(build, nxt))
+                yield head.result()
 
 
 def synthetic_batch(batch_size: int = 2, size: int = 64, clip_size: int = 28,

@@ -291,3 +291,29 @@ def test_fast_group_norm_matches_flax():
     np.testing.assert_allclose(
         np.asarray(mine.apply(params, x2)),
         np.asarray(ref.apply(params, x2)), rtol=2e-5, atol=2e-5)
+
+
+def test_unet_fused_gn_matches_default():
+    """fused_gn=True (restructured GroupNorm+SiLU, ops/group_norm.py) must
+    be a pure execution-strategy switch: same param tree, same outputs,
+    finite grads — the training-graph A/B lever (VERDICT r3 item 8)."""
+    cfg = tiny_unet_config(lora_rank=4, ip_num_tokens=4)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16, 4))
+    t = jnp.array([7, 3])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 81, 32))
+
+    plain = UNet(cfg)
+    fused = UNet(cfg, fused_gn=True)
+    params = plain.init(rng, x, t, ctx)
+    p2 = fused.init(jax.random.PRNGKey(9), x, t, ctx)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
+
+    o1 = plain.apply(params, x, t, ctx)
+    o2 = fused.apply(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-5, rtol=2e-5)
+
+    g = jax.grad(lambda p: jnp.sum(fused.apply(p, x, t, ctx) ** 2))(params)
+    assert np.isfinite(float(jax.tree_util.tree_leaves(g)[0].sum()))
