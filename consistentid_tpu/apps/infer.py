@@ -84,6 +84,14 @@ def main(argv=None):
     if args.init_image and args.sdxl:
         parser.error("--init-image is SD1.5-only (the reference has no "
                      "SDXL img2img/inpaint variant either)")
+    if not 0.0 < args.strength <= 1.0:
+        parser.error(f"--strength must be in (0, 1]: {args.strength}")
+    if args.init_image and args.num_images != 1:
+        parser.error("--num-images > 1 is t2i-only; the img2img/inpaint "
+                     "generate() paths run one image per call")
+    if args.init_image and args.cache_interval != 1:
+        parser.error("--cache-interval applies to the t2i path only; the "
+                     "img2img/inpaint pipelines run the exact UNet")
 
     from PIL import Image
 

@@ -11,7 +11,10 @@ strength -> timestep-truncation machinery as our inpaint pipeline
   - encode the init image to latents through the VAE;
   - keep only the last ``int(T * strength)`` steps of the sampling plan;
   - start from the init latents noised to the first kept step
-    (``strength >= 1`` degenerates to pure noise == text-to-image);
+    (``strength >= 1`` degenerates to pure noise == text-to-image for the
+    deterministic schedulers — ddim/euler/dpmpp/pndm; ancestral ddpm draws
+    its in-scan noise from a differently-folded rng than the t2i path, so
+    there the equivalence is distributional, not bitwise);
   - denoise with the full ConsistentID conditioning (3-way embeds, merge
     step, decoupled IP attention, LoRA) — no mask, no recomposition.
 """

@@ -305,11 +305,15 @@ def plan_tail(plan: SamplerPlan, strength: float) -> SamplerPlan:
     Slices EVERY per-step table (including the dpmpp_2m multistep extras) and
     zeroes the new first step's second-order weight `rr`, since the truncated
     trajectory has no previous x0 to extrapolate from.
+
+    At least one step is always kept (diffusers get_timesteps semantics:
+    `max(num_steps - init_timestep, 0)` keeps a non-empty tail) so a tiny
+    strength can't produce an empty plan that crashes the jit trace.
     """
     import dataclasses as _dc
 
-    t_start = plan.num_steps - min(int(plan.num_steps * strength),
-                                   plan.num_steps)
+    kept = min(max(int(plan.num_steps * strength), 1), plan.num_steps)
+    t_start = plan.num_steps - kept
     if t_start == 0:
         return plan
     updates = {}

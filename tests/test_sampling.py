@@ -237,3 +237,19 @@ def test_denoise_dpmpp_with_tiny_unet(schedule):
                   jnp.int32(1))
     assert out.shape == latents.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_plan_tail_keeps_at_least_one_step(schedule):
+    """A strength small enough that int(T * strength) == 0 must keep one
+    step (diffusers get_timesteps keeps a non-empty tail) instead of
+    producing an empty plan that IndexErrors inside the jit trace
+    (ADVICE r3: apps/infer.py --strength validation)."""
+    from consistentid_tpu.sampling import make_plan
+    from consistentid_tpu.sampling.schedulers import plan_tail
+
+    for name in ("ddim", "euler", "ddpm", "dpmpp_2m", "pndm"):
+        full = make_plan(schedule, name, 10)
+        tail = plan_tail(full, 0.01)
+        assert tail.num_steps == 1, (name, tail.num_steps)
+        # and the kept step is the LAST step of the full plan
+        np.testing.assert_allclose(tail.timesteps[-1], full.timesteps[-1])
