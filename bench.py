@@ -49,6 +49,20 @@ def main():
     p.add_argument("--workers", type=int, default=None,
                    help="--input: dataset thread-pool size (default: "
                         "host cores); 0 = single-thread")
+    p.add_argument("--caption", action="store_true",
+                   help="FGID LLaVA captioner throughput on the chip: "
+                        "random bf16 weights at the REAL llava-v1.5-7b "
+                        "shape (ViT-L/14-336 tower + Llama-2-7b) generated "
+                        "on-device, batched prefill + fixed-length greedy "
+                        "decode per FGID prompt. Reports captions/min (two "
+                        "prompts per image, data/FGID_caption.py:21-24) "
+                        "and decode tok/s. --tiny runs the smoke config; "
+                        "--new-tokens sets the decode length")
+    p.add_argument("--new-tokens", type=int, default=128,
+                   help="--caption decode length per prompt (the reference "
+                        "caps at 512, data/FGID_caption.py:57; typical FGID "
+                        "captions are ~100-150 tokens). Decode cost scales "
+                        "linearly — tok/s is also reported")
     p.add_argument("--fgid-mask", action="store_true",
                    help="FGID mask-production throughput (batched BiSeNet "
                         "parse incl. JPEG decode + PNG outputs) vs the "
@@ -94,6 +108,8 @@ def main():
 
     if args.sdxl:
         return bench_sdxl(args)
+    if args.caption:
+        return bench_caption(args)
     if args.input:
         return bench_input(args)
     if args.fgid_mask:
@@ -335,6 +351,116 @@ def bench_train(args):
             rec["mfu"] = round(m, 4)
             rec["peak_tflops"] = device_peak_tflops()
     rec["device"] = jax.devices()[0].device_kind
+    print(json.dumps(rec))
+
+
+def bench_caption(args):
+    """FGID caption-stage throughput (VERDICT r3 weak #6): the in-repo
+    LLaVA-1.5 captioner (models/llava.py) at the REAL 7B shape on one chip.
+
+    Random bf16 weights are generated ON-DEVICE (no 14 GB tunnel upload;
+    throughput depends on shapes, not values), eos is disabled so every row
+    decodes exactly --new-tokens, and two decode lengths are timed so
+    prefill and per-token decode cost separate cleanly. captions/min counts
+    the full FGID protocol — two prompts per image
+    (data/FGID_caption.py:21-24) — at the reference's llava_v1 prompt
+    lengths (576 image tokens + ~48 text tokens).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from consistentid_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from consistentid_tpu.core.config import (CLIPVisionConfig, LlamaConfig,
+                                              LlavaConfig)
+    from consistentid_tpu.models.llava import (make_caption_fn,
+                                               random_llava_params)
+
+    if args.tiny:
+        cfg = LlavaConfig(
+            vision=CLIPVisionConfig(image_size=28, patch_size=14,
+                                    hidden_size=24, intermediate_size=48,
+                                    num_layers=2, num_heads=2,
+                                    hidden_act="quick_gelu"),
+            text=LlamaConfig(vocab_size=64, hidden_size=32,
+                             intermediate_size=64, num_layers=2,
+                             num_heads=4, num_kv_heads=2,
+                             max_position_embeddings=2048),
+            image_token_id=63)
+    else:
+        cfg = LlavaConfig()  # llava-v1.5-7b shapes
+    # batch default 1: 7B bf16 params ≈ 14.1 GB; the KV cache costs
+    # 0.39 GB/row at this max_len, so batch is HBM-bound on a 16 GB v5e
+    batch = args.batch if args.batch is not None else 1
+
+    # bf16 params straight on device: eval_shape the init, then fill each
+    # leaf with a small normal — values don't affect timing, dtype/shape do
+    shapes = jax.eval_shape(
+        lambda k: random_llava_params(k, cfg, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def make_params(key):
+        ks = jax.random.split(key, len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef, [jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
+                      for k, s in zip(ks, leaves)])
+
+    params = jax.block_until_ready(make_params(jax.random.PRNGKey(1)))
+    n_params = sum(int(np.prod(s.shape)) for s in leaves)
+
+    # llava_v1 FGID prompt lengths: system+\"USER: \" ≈ 41 ids,
+    # \"\\n{query} ASSISTANT:\" ≈ 36/31 ids for the two prompts (measured
+    # with the HF Llama tokenizer); eos=-1 never fires -> full-length rows
+    rs = np.random.RandomState(0)
+    vocab = cfg.text.vocab_size
+    pre = rs.randint(3, vocab, 41).astype(np.int32)
+    post = rs.randint(3, vocab, 36).astype(np.int32)
+    size = cfg.vision.image_size
+
+    def pixels(seed):
+        r = np.random.RandomState(seed)
+        return r.rand(batch, size, size, 3).astype(np.float32) * 2 - 1
+
+    short_n = min(16, args.new_tokens)
+    times = {}
+    for n_new in (short_n, args.new_tokens):
+        fn = make_caption_fn(cfg, max_new_tokens=n_new, eos_token_id=-1,
+                             pad_token_id=0, dtype=jnp.bfloat16)
+        np.asarray(fn(params, pixels(0), pre, post))  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            # varied pixels per iter (tunnel memoization guard); the
+            # np.asarray fetch is the completion barrier
+            np.asarray(fn(params, pixels(1 + i), pre, post))
+        times[n_new] = (time.perf_counter() - t0) / args.iters
+
+    t_long = times[args.new_tokens]
+    if args.new_tokens > short_n:
+        tok_time = (t_long - times[short_n]) / (args.new_tokens - short_n)
+        decode_tok_s = batch / tok_time if tok_time > 0 else float("nan")
+        prefill_s = max(times[short_n] - short_n * tok_time, 0.0)
+    else:
+        decode_tok_s = batch * args.new_tokens / t_long
+        prefill_s = float("nan")
+    captions_min = batch * 60.0 / (2.0 * t_long)
+
+    rec = {
+        "metric": f"FGID LLaVA captioner captions/min/chip (batch {batch}, "
+                  f"{args.new_tokens} new tokens x 2 prompts"
+                  + (", tiny" if args.tiny else ", 7B shapes") + ")",
+        "value": round(captions_min, 3),
+        "unit": "captions/min",
+        "vs_baseline": None,
+        "decode_tok_s": round(decode_tok_s, 2),
+        "prefill_s": round(prefill_s, 4),
+        "t_per_prompt_s": round(t_long, 4),
+        "n_params": n_params,
+        "device": jax.devices()[0].device_kind,
+    }
     print(json.dumps(rec))
 
 
