@@ -80,7 +80,13 @@ class MicroBatcher:
     def __init__(self, pipeline, max_batch: int = 4, window_ms: float = 30.0):
         self.pipeline = pipeline
         mesh = getattr(pipeline, "mesh", None)
-        self.mesh_size = int(mesh.devices.size) if mesh is not None else 1
+        if mesh is not None:
+            # bucket multiples track the DATA axis only — a model (tensor-
+            # parallel) axis replicates the batch, it doesn't shard it
+            from ..parallel import data_axis_size
+            self.mesh_size = data_axis_size(mesh)
+        else:
+            self.mesh_size = 1
         if self.mesh_size > 1:
             # buckets {D, 2D, 4D, ...}: never run a graph the mesh can't
             # shard (max_batch is rounded up to at least one full mesh row)
@@ -289,6 +295,13 @@ def main(argv=None):
                         "device, 0 = all visible devices): batch buckets "
                         "become multiples of N and each bucket is sharded "
                         "over a jax Mesh data axis")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel UNet over N devices per replica "
+                        "(attention/FF kernels split over the mesh model "
+                        "axis, XLA SPMD collectives ride ICI). Composes "
+                        "with --dp: dp*tp devices total. Latency lever for "
+                        "big shapes (SDXL 1024px); --dp is the throughput "
+                        "lever")
     args, _ = p.parse_known_args(argv)
 
     from ..core.cache import enable_compilation_cache
@@ -297,13 +310,18 @@ def main(argv=None):
 
     enable_compilation_cache()
     mesh = None
-    if args.dp != 1:
+    if args.dp != 1 or args.tp != 1:
         import jax
 
         from ..parallel import make_mesh
-        devs = jax.devices() if args.dp == 0 else jax.devices()[:args.dp]
+        if args.dp == 0:
+            devs = jax.devices()
+            if args.tp > 1 and len(devs) % args.tp:
+                devs = devs[: len(devs) - len(devs) % args.tp]
+        else:
+            devs = jax.devices()[: args.dp * args.tp]
         if len(devs) > 1:
-            mesh = make_mesh(devs)
+            mesh = make_mesh(devs, model=args.tp)
     pipe = load_sd15_consistentid(
         args.base, consistentid_path=args.consistentid,
         image_encoder_path=args.image_encoder, bisenet_path=args.bisenet,

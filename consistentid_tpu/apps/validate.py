@@ -272,7 +272,6 @@ def run_mode_sweep(pipe, face, n_rows: int, clip_projections=None) -> Dict:
     identity metrics (eval/metrics.py) rather than tensor-level pixel
     bounds, because a cache interval that degrades identity must show up
     here, not in a pixel-diff test (VERDICT r3 weak #3)."""
-    import dataclasses as _dc
     import tempfile
 
     from ..eval.metrics import FaceSimScorer
@@ -295,12 +294,7 @@ def run_mode_sweep(pipe, face, n_rows: int, clip_projections=None) -> Dict:
             text_projection=proj["text_projection.weight"].T,
             visual_projection=proj["visual_projection.weight"].T)
 
-    int8_pipe = type(pipe)(
-        _dc.replace(pipe.bundle, quant="int8"), pipe.params, pipe.tokenizer,
-        pipeline_config=pipe.config, face_parser=pipe.face_parser,
-        face_embedder=pipe.face_embedder,
-        safety_checker=pipe.safety_checker, mesh=pipe.mesh)
-    by_mode = {"exact": pipe, "int8": int8_pipe,
+    by_mode = {"exact": pipe, "int8": pipe.with_quant("int8"),
                "cache2": pipe, "cache3": pipe}
 
     out: Dict = {}
@@ -557,6 +551,7 @@ def main(argv=None) -> int:
             record("inpaint", lambda: inpipe.generate(
                 args.prompt, face, init, mask, strength=0.8, seed=2)[0])
 
+        xl_pipe = None
         if args.sdxl_base:
             xl_pipe = load_sdxl_consistentid(
                 args.sdxl_base, image_encoder_path=args.image_encoder,
@@ -634,6 +629,16 @@ def main(argv=None) -> int:
                 report["metrics"]["mode_sweep_error"] = (
                     f"{type(e).__name__}: {e}")
                 print(f"  [FAIL] mode sweep: {e}")
+            if xl_pipe is not None:
+                print(f"stage 5b: SDXL serving-mode sweep "
+                      f"({args.mode_sweep} rows)")
+                try:
+                    report["metrics"]["mode_sweep_xl"] = run_mode_sweep(
+                        xl_pipe, face, args.mode_sweep)
+                except Exception as e:
+                    report["metrics"]["mode_sweep_error"] = (
+                        f"SDXL {type(e).__name__}: {e}")
+                    print(f"  [FAIL] SDXL mode sweep: {e}")
 
     pipes_ok = all(e.get("ok") for e in report["pipelines"].values())
     report["ok"] = bool(files_ok and pipes_ok

@@ -82,6 +82,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Number of batch shards = devices on the data axis. A mesh without a
+    'data' axis counts all devices (an all-data mesh by construction)."""
+    try:
+        return int(mesh.shape[DATA_AXIS])
+    except (AttributeError, KeyError, TypeError):
+        return int(mesh.devices.size)
+
+
 def shard_batch(mesh: Mesh, batch, batch_dim: int = 0):
     """Device_put a pytree of host arrays with batch-dim sharding.
 

@@ -271,7 +271,10 @@ class ConsistentIDPipeline:
         face_embedder: Optional[Callable] = None,  # PIL -> (1, 512) np
         safety_checker: Optional[Callable] = None,  # uint8 (B,H,W,3) ->
         #                                             (images, flags)
-        mesh=None,  # jax Mesh: shard num_images_per_prompt over 'data'
+        mesh=None,  # jax Mesh: batch shards over 'data'; a 'model' axis of
+        #             size > 1 additionally serves the UNet tensor-parallel
+        #             (parallel/tensor_parallel.py — attention/FF kernels
+        #             split over the axis, XLA SPMD inserts the collectives)
     ):
         self.bundle = bundle
         self.params = params
@@ -288,6 +291,16 @@ class ConsistentIDPipeline:
         self.safety_checker = safety_checker
         self.last_nsfw_flags = None  # set per call when a checker is active
         self.mesh = mesh
+        self._dp_size = 1
+        if mesh is not None:
+            from ..parallel import MODEL_AXIS, data_axis_size
+            self._dp_size = data_axis_size(mesh)
+            if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+                # tensor-parallel UNet: shard the attention/FF kernels over
+                # the model axis once at construction; every jitted graph
+                # (t2i/batch/inpaint/img2img) then runs GSPMD-partitioned
+                from ..parallel.tensor_parallel import apply_tensor_parallel
+                self.params = apply_tensor_parallel(self.params, mesh)
         self._facial_token_id = tokenizer.convert_tokens_to_ids("<|facial|>")
         # jit once; a fresh jax.jit per generate() would recompile every call.
         # ip_scale/lora_scale are traced scalars (like guidance/merge-step),
@@ -296,6 +309,24 @@ class ConsistentIDPipeline:
             self._generate_core,
             static_argnames=("num_steps", "scheduler", "cache_interval"))
         self._last_core_args = None  # for last_cost_analysis()
+
+    def with_quant(self, quant: str) -> "ConsistentIDPipeline":
+        """The same pipeline serving its UNet at a different quant mode
+        ("none"/"int8"). Params, tokenizers, and host helpers are shared;
+        the bundle twin and the jit cache are fresh (quant changes the
+        compiled denoise graph, so the caller's compiled graphs must not
+        be reused). Works for every subclass — used by
+        apps/validate.py's --mode-sweep to score int8 against exact."""
+        import copy
+        import dataclasses
+
+        p = copy.copy(self)
+        p.bundle = dataclasses.replace(self.bundle, quant=quant)
+        p._core_jit = jax.jit(
+            p._generate_core,
+            static_argnames=("num_steps", "scheduler", "cache_interval"))
+        p._last_core_args = None
+        return p
 
     # ---------------- host-side prepare ----------------
 
@@ -540,7 +571,7 @@ class ConsistentIDPipeline:
              self.bundle.unet_config.sample_channels),
             jnp.float32)
         if self.mesh is not None and \
-                num_images_per_prompt % self.mesh.devices.size == 0:
+                num_images_per_prompt % self._dp_size == 0:
             # data-parallel image batch: XLA partitions the whole compiled
             # graph (scan included) over the mesh's data axis
             from ..parallel import data_sharding, replicated
@@ -642,7 +673,7 @@ class ConsistentIDPipeline:
         else:
             rng = jax.random.PRNGKey(seed)
             latents = jax.random.normal(rng, (n, *shape), jnp.float32)
-        if self.mesh is not None and n % self.mesh.devices.size == 0:
+        if self.mesh is not None and n % self._dp_size == 0:
             # data-parallel request batch (serving): every cond row aligns
             # with its latent row (facial-region keys carry 5 rows per
             # request, contiguous per request, so dim-0 sharding keeps each

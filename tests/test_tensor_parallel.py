@@ -54,3 +54,45 @@ def test_tp_forward_matches_replicated():
     got = fwd(bundle, x, t, ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_pipeline_generate_tp_matches_single_device():
+    """End-to-end pipeline TP: a mesh with model=2 makes the pipeline shard
+    its UNet kernels at construction (consistentid_sd15.py __init__); the
+    full generate (encode -> CFG denoise scan -> decode) must match the
+    mesh-less run within collective-reordering tolerance. This is the
+    serve --tp path (apps/serve.py)."""
+    from PIL import Image
+
+    from consistentid_tpu.conditioning import SimpleTokenizer
+    from consistentid_tpu.core import PipelineConfig
+    from consistentid_tpu.pipelines import ConsistentIDPipeline
+    from consistentid_tpu.testing import tiny_bundle
+
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    cfg = PipelineConfig(height=32, width=32, num_inference_steps=2,
+                         start_merge_step=1)
+    labels = np.zeros((64, 64), np.uint8)
+    labels[16:48, 16:48] = 1
+    labels[20:28, 20:30] = 4
+    face = Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (64, 64, 3), np.uint8))
+    kw = dict(parsing_labels=labels,
+              faceid_embeds=np.zeros((1, 16), np.float32),
+              seed=3, num_images_per_prompt=2)
+
+    ref_pipe = ConsistentIDPipeline(bundle, params, SimpleTokenizer(),
+                                    pipeline_config=cfg)
+    want = ref_pipe.generate("a man with a face", face, **kw)
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    tp_pipe = ConsistentIDPipeline(bundle, params, SimpleTokenizer(),
+                                   pipeline_config=cfg, mesh=mesh)
+    assert tp_pipe._dp_size == 2
+    got = tp_pipe.generate("a man with a face", face, **kw)
+    # uint8 outputs: collective reordering may flip a borderline rounding;
+    # allow off-by-one on a small fraction of pixels
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.05

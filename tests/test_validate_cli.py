@@ -150,3 +150,77 @@ def test_mode_sweep_reports_identity_metrics(tmp_path):
         assert "d_face_sim" in out[mode]
         assert abs(out[mode]["d_face_sim"]) < 0.9  # not catastrophically off
     assert "d_face_sim" not in out["exact"]
+
+
+def test_with_quant_shares_params_not_graphs():
+    """pipe.with_quant('int8'): same param tree by reference, fresh bundle
+    twin + jit cache; the exact pipe keeps serving the bf16 graph (the
+    mode-sweep machinery relies on both facts)."""
+    import jax
+    from consistentid_tpu.conditioning import SimpleTokenizer
+    from consistentid_tpu.core import PipelineConfig
+    from consistentid_tpu.pipelines import ConsistentIDPipeline
+    from consistentid_tpu.testing import tiny_bundle
+
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    cfg = PipelineConfig(height=32, width=32, num_inference_steps=2,
+                         start_merge_step=1)
+    labels = np.zeros((64, 64), np.uint8)
+    labels[16:48, 16:48] = 1
+    pipe = ConsistentIDPipeline(bundle, params, SimpleTokenizer(),
+                                pipeline_config=cfg,
+                                face_parser=lambda img: labels)
+    q = pipe.with_quant("int8")
+    assert q.params is pipe.params
+    assert q.bundle.quant == "int8" and pipe.bundle.quant == "none"
+    assert q._core_jit is not pipe._core_jit
+
+    from PIL import Image
+    face = Image.fromarray(
+        np.random.RandomState(3).randint(0, 255, (64, 64, 3), np.uint8))
+    a = pipe.generate("a face", face, seed=5)
+    b = q.generate("a face", face, seed=5)
+    assert np.isfinite(a.astype(np.float32)).all()
+    assert np.isfinite(b.astype(np.float32)).all()
+    # int8 must actually change the served graph's numerics
+    assert not np.array_equal(a, b)
+
+
+def test_mode_sweep_runs_on_sdxl(tmp_path):
+    """run_mode_sweep is pipeline-generic: the SDXL pipe (dual towers,
+    2048-d embeds) sweeps the same four serving modes — validate
+    --mode-sweep scores XL accelerators too (stage 5b)."""
+    import jax
+    from PIL import Image
+
+    from consistentid_tpu.conditioning import SimpleTokenizer
+    from consistentid_tpu.core import PipelineConfig
+    from consistentid_tpu.pipelines.consistentid_sdxl import \
+        ConsistentIDXLPipeline
+    from consistentid_tpu.testing import tiny_sdxl_bundle
+
+    bundle = tiny_sdxl_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    labels = np.zeros((64, 64), np.uint8)
+    labels[16:48, 16:48] = 1
+    labels[20:28, 20:30] = 4
+
+    def embedder(img):
+        arr = np.asarray(img.resize((8, 8)), np.float32).reshape(1, -1)
+        return arr[:, :16] / (np.linalg.norm(arr[:, :16]) + 1e-6)
+
+    pipe = ConsistentIDXLPipeline(
+        bundle, params, SimpleTokenizer(),
+        pipeline_config=PipelineConfig(height=32, width=32,
+                                       num_inference_steps=3,
+                                       guidance_scale=7.5,
+                                       start_merge_step=1),
+        face_parser=lambda img: labels, face_embedder=embedder)
+    face = Image.fromarray(
+        np.random.RandomState(7).randint(0, 255, (64, 64, 3), np.uint8))
+
+    out = validate_app.run_mode_sweep(pipe, face, 1)
+    assert set(out) == {"exact", "int8", "cache2", "cache3"}
+    for mode in ("int8", "cache2", "cache3"):
+        assert "d_face_sim" in out[mode]
