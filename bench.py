@@ -63,6 +63,14 @@ def main():
                         "caps at 512, data/FGID_caption.py:57; typical FGID "
                         "captions are ~100-150 tokens). Decode cost scales "
                         "linearly — tok/s is also reported")
+    p.add_argument("--caption-layers", type=int, default=None,
+                   help="--caption: override the Llama decoder depth while "
+                        "keeping every per-layer shape at 7B. Full 7B bf16 "
+                        "(14.1 GB) is batch-1-bound on a 16 GB v5e (batch 2 "
+                        "OOMs on XLA layout-copy temps); half depth (16) "
+                        "fits batch 4, and since decode cost is per-layer "
+                        "weight-read-bound, its batch scaling measures the "
+                        "7B amortization directly")
     p.add_argument("--fgid-mask", action="store_true",
                    help="FGID mask-production throughput (batched BiSeNet "
                         "parse incl. JPEG decode + PNG outputs) vs the "
@@ -86,7 +94,12 @@ def main():
                         "the SD1.5/SDXL pipeline benches. achieved_tflops/"
                         "mfu stay bf16-equivalent (same counted FLOPs, "
                         "faster wall clock), so mfu>bf16-roofline is "
-                        "expected when int8 pays off")
+                        "expected when int8 pays off. Measured r4: +2.6% "
+                        "on SD1.5 512px, -35% on SDXL 1024px (the dynamic "
+                        "activation-quant prologue is bandwidth-bound and "
+                        "scales with activation bytes) — do not use for "
+                        "SDXL; DeepCache is the SDXL accelerator (+75% at "
+                        "interval 2)")
     p.add_argument("--cache-interval", type=int, default=1,
                    help="DeepCache-style deep-feature reuse cadence for the "
                         "pipeline benches (1 = off). N>1 runs the full UNet "
@@ -366,6 +379,8 @@ def bench_caption(args):
     (data/FGID_caption.py:21-24) — at the reference's llava_v1 prompt
     lengths (576 image tokens + ~48 text tokens).
     """
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -391,8 +406,15 @@ def bench_caption(args):
             image_token_id=63)
     else:
         cfg = LlavaConfig()  # llava-v1.5-7b shapes
+    if args.caption_layers is not None:
+        # same per-layer shapes, shallower stack: decode is weight-read-
+        # bound per layer, so batch scaling here measures 7B amortization
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text,
+                                          num_layers=args.caption_layers))
     # batch default 1: 7B bf16 params ≈ 14.1 GB; the KV cache costs
     # 0.39 GB/row at this max_len, so batch is HBM-bound on a 16 GB v5e
+    # (batch 2 at full depth OOMs on XLA layout-copy temps — measured)
     batch = args.batch if args.batch is not None else 1
 
     # bf16 params straight on device: eval_shape the init, then fill each
@@ -451,7 +473,10 @@ def bench_caption(args):
     rec = {
         "metric": f"FGID LLaVA captioner captions/min/chip (batch {batch}, "
                   f"{args.new_tokens} new tokens x 2 prompts"
-                  + (", tiny" if args.tiny else ", 7B shapes") + ")",
+                  + (", tiny" if args.tiny else
+                     f", 7B-layer shapes x{cfg.text.num_layers} layers"
+                     if args.caption_layers is not None else ", 7B shapes")
+                  + ")",
         "value": round(captions_min, 3),
         "unit": "captions/min",
         "vs_baseline": None,
