@@ -312,6 +312,12 @@ def main(argv=None):
                                  "capable captioners (LlavaCaptioner); the "
                                  "KV cache and greedy decode are batch-"
                                  "shaped so B images cost ~1 execution")
+            sp.add_argument("--quant", default="none",
+                            choices=("none", "int8"),
+                            help="LlavaCaptioner decoder weights: int8 "
+                                 "halves param HBM (7B batch>1 fits 16 GB) "
+                                 "and the per-token weight read that bounds "
+                                 "greedy decode")
         if stage == "faceid":
             sp.add_argument("--arcface", required=True)
             sp.add_argument("--batch-size", type=int, default=32)
@@ -322,7 +328,7 @@ def main(argv=None):
     elif args.stage == "caption":
         from ..conditioning.captioner import make_captioner
         captioner = make_captioner(args.captioner_cmd, args.captioner_url,
-                                   args.captioner_llava)
+                                   args.captioner_llava, quant=args.quant)
         try:
             run_caption(args.images, args.out, captioner,
                         batch_size=args.batch)

@@ -37,6 +37,13 @@ class Captioner(Protocol):
     def __call__(self, image) -> Tuple[str, str]: ...
 
 
+def _has_leaf(tree, name: str) -> bool:
+    """True if any nested-dict key equals `name` (quant-layout detection)."""
+    if not isinstance(tree, dict):
+        return False
+    return any(k == name or _has_leaf(v, name) for k, v in tree.items())
+
+
 # ---------------------------------------------------------------------------
 # In-repo LLaVA captioner (TPU-native equivalent of models/LLaVA +
 # data/FGID_caption.py:36-116)
@@ -80,13 +87,28 @@ class LlavaCaptioner:
                  max_new_tokens: int = 512, dtype=None,
                  caption_prompt: str = CAPTION_PROMPT,
                  detail_prompt: str = DETAIL_PROMPT,
-                 system: str = LLAVA_SYSTEM):
+                 system: str = LLAVA_SYSTEM, quant: str = "none"):
         import jax.numpy as jnp
 
         from ..core.config import LlavaConfig
         from ..models.llava import make_caption_fn
 
         self.config = config or LlavaConfig()
+        if quant == "int8":
+            # int8 decoder weights: halves HBM (batch > 1 fits a 16 GB
+            # chip at 7B) and the per-token weight read (decode roofline).
+            # Float-tree input converted here; pre-quantized trees (with
+            # kernel_q leaves) pass through untouched.
+            from ..models.llama import quantize_llama_params
+
+            if not _has_leaf(params["llama"], "kernel_q"):
+                params = dict(params)
+                params["llama"] = quantize_llama_params(
+                    self.config.text, params["llama"],
+                    dtype=dtype or jnp.bfloat16)
+        elif quant != "none":
+            raise ValueError(f"unknown quant mode {quant!r} "
+                             "(expected 'none' or 'int8')")
         self.params = params
         self.tokenizer = tokenizer
         self.caption_prompt = caption_prompt
@@ -95,7 +117,8 @@ class LlavaCaptioner:
         self._fn = make_caption_fn(
             self.config, max_new_tokens=max_new_tokens,
             eos_token_id=int(tokenizer.eos_token_id),
-            pad_token_id=0, dtype=dtype or jnp.bfloat16)
+            pad_token_id=0, dtype=dtype or jnp.bfloat16,
+            quant=(quant == "int8"))
 
     @classmethod
     def from_pretrained(cls, model_dir: str, **kw) -> "LlavaCaptioner":
@@ -299,13 +322,14 @@ class HTTPCaptioner:
 
 def make_captioner(command: Optional[str] = None,
                    url: Optional[str] = None,
-                   llava_dir: Optional[str] = None) -> Callable:
+                   llava_dir: Optional[str] = None,
+                   quant: str = "none") -> Callable:
     """CLI helper: build the captioner from
     --captioner-cmd/--captioner-url/--captioner-llava flags; the template
     default when none is given (the reference's shipped inference
-    behavior)."""
+    behavior). `quant` applies to the in-repo LLaVA only."""
     if llava_dir:
-        return LlavaCaptioner.from_pretrained(llava_dir)
+        return LlavaCaptioner.from_pretrained(llava_dir, quant=quant)
     if command:
         return SubprocessCaptioner(command)
     if url:

@@ -15,6 +15,14 @@ tests/test_llama_parity.py against transformers at tiny config):
 RMSNorm computed in fp32, rotate-half RoPE with cos/sin from
 `theta^{-2i/d}` outer positions, grouped-query attention via KV head
 repeat, SiLU-gated MLP, no biases.
+
+`quant=True` serves every projection (q/k/v/o, gate/up/down, lm_head) as
+W8A8 int8 (ops/quant.py): greedy decode is weight-read-bound (measured
+51.7 tok/s x 14.1 GB bf16 ≈ the v5e HBM roofline, ROUND_NOTES r4), so
+int8 weights halve the bytes per decoded token AND halve param HBM,
+which is what lets llava-1.5-7b run batch > 1 on a 16 GB chip. The
+embedding table stays float (its read is one gather per token).
+Convert float params with `quantize_llama_params`.
 """
 from __future__ import annotations
 
@@ -25,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import LlamaConfig
+from .layers import dense as _dense
 
 
 class LayerKV(NamedTuple):
@@ -83,6 +92,7 @@ class RMSNorm(nn.Module):
 class LlamaAttention(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin, kv: LayerKV, cache_index,
@@ -94,8 +104,9 @@ class LlamaAttention(nn.Module):
         cfg = self.config
         b, s, _ = x.shape
         d = cfg.head_dim
-        dense = lambda n, feats: nn.Dense(feats, use_bias=False,
-                                          dtype=self.dtype, name=n)
+        dense = lambda n, feats: _dense(feats, use_bias=False,
+                                        dtype=self.dtype, name=n,
+                                        quant=self.quant)
         q = dense("q_proj", cfg.num_heads * d)(x)
         k = dense("k_proj", cfg.num_kv_heads * d)(x)
         v = dense("v_proj", cfg.num_kv_heads * d)(x)
@@ -136,34 +147,36 @@ class LlamaAttention(nn.Module):
 class LlamaMLP(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
-                        dtype=self.dtype, name="gate_proj")(x)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False,
-                      dtype=self.dtype, name="up_proj")(x)
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        name="down_proj")(jax.nn.silu(gate) * up)
+        proj = lambda n, feats: _dense(feats, use_bias=False,
+                                       dtype=self.dtype, name=n,
+                                       quant=self.quant)
+        gate = proj("gate_proj", cfg.intermediate_size)(x)
+        up = proj("up_proj", cfg.intermediate_size)(x)
+        return proj("down_proj", cfg.hidden_size)(jax.nn.silu(gate) * up)
 
 
 class LlamaDecoderLayer(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin, kv, cache_index, attn_len):
         h = RMSNorm(self.config.rms_norm_eps, dtype=self.dtype,
                     name="input_layernorm")(x)
         attn, new_kv = LlamaAttention(self.config, dtype=self.dtype,
-                                      name="self_attn")(
+                                      quant=self.quant, name="self_attn")(
             h, cos, sin, kv, cache_index, attn_len)
         x = x + attn
         h = RMSNorm(self.config.rms_norm_eps, dtype=self.dtype,
                     name="post_attention_layernorm")(x)
-        return x + LlamaMLP(self.config, dtype=self.dtype, name="mlp")(h), \
-            new_kv
+        return x + LlamaMLP(self.config, dtype=self.dtype, quant=self.quant,
+                            name="mlp")(h), new_kv
 
 
 class LlamaForCausalLM(nn.Module):
@@ -175,18 +188,21 @@ class LlamaForCausalLM(nn.Module):
 
     config: LlamaConfig
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     def setup(self):
         cfg = self.config
         self._embed = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                                dtype=self.dtype, name="embed_tokens")
         self._layers = [LlamaDecoderLayer(cfg, dtype=self.dtype,
+                                          quant=self.quant,
                                           name=f"layers_{i}")
                         for i in range(cfg.num_layers)]
         self._norm = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="norm")
         if not cfg.tie_word_embeddings:
-            self._lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
-                                     dtype=self.dtype, name="lm_head")
+            self._lm_head = _dense(cfg.vocab_size, use_bias=False,
+                                   dtype=self.dtype, quant=self.quant,
+                                   name="lm_head")
 
     def __call__(self, input_ids: Optional[jax.Array] = None,
                  cache: Optional[Cache] = None,
@@ -274,3 +290,18 @@ def greedy_generate(model: LlamaForCausalLM, params, prompt,
     _, _, _, out, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), tok, cache, out, done))
     return out
+
+
+def quantize_llama_params(config: LlamaConfig, params, dtype=jnp.float32):
+    """Float Llama param tree (raw, no "params" wrapper) -> the int8 layout a
+    `LlamaForCausalLM(quant=True)` expects: every projection kernel becomes
+    kernel_q (int8, per-out-channel symmetric) + kernel_scale (fp32); norms
+    and the embedding table pass through. jnp math — jit-safe, and safe to
+    run layer-by-layer upstream if both trees cannot coexist in HBM."""
+    from ..ops.quant import quantize_params_like
+
+    model = LlamaForCausalLM(config, dtype=dtype, quant=True)
+    target = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4), jnp.int32)))["params"]
+    return quantize_params_like(target, params)

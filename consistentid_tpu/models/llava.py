@@ -91,13 +91,17 @@ def preprocess_image(image, image_size: int) -> np.ndarray:
 
 def make_caption_fn(config: LlavaConfig, max_new_tokens: int,
                     eos_token_id: int, pad_token_id: int = 0,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, quant: bool = False):
     """One jitted prefill+decode: (params, pixel_values, pre_ids, post_ids)
     -> (B, max_new_tokens) ids. Recompiles per (pre, post) length pair —
     the FGID protocol uses exactly two fixed prompts, so two compilations
-    total per corpus (data/FGID_caption.py:21-24)."""
+    total per corpus (data/FGID_caption.py:21-24).
+
+    `quant=True` expects params["llama"] in the int8 layout
+    (models/llama.quantize_llama_params); the vision tower and projector
+    stay float (one prefill-time cost, not per decoded token)."""
     llava = LlavaModel(config, dtype=dtype)
-    llama = LlamaForCausalLM(config.text, dtype=dtype)
+    llama = LlamaForCausalLM(config.text, dtype=dtype, quant=quant)
 
     def fn(params, pixel_values, pre_ids, post_ids):
         feats = llava.apply({"params": params["mm"]}, pixel_values)
@@ -116,11 +120,15 @@ def make_caption_fn(config: LlavaConfig, max_new_tokens: int,
     return jax.jit(fn, static_argnames=())
 
 
-def random_llava_params(rng, config: LlavaConfig, dtype=jnp.float32):
-    """Random-weight init (tests / synthetic validation)."""
+def random_llava_params(rng, config: LlavaConfig, dtype=jnp.float32,
+                        quant: bool = False):
+    """Random-weight init (tests / synthetic validation / shape source for
+    on-device bench param generation). `quant=True` inits the Llama half in
+    the int8 layout (kernel_q/kernel_scale) that `make_caption_fn(...,
+    quant=True)` expects."""
     k1, k2 = jax.random.split(rng)
     llava = LlavaModel(config, dtype=dtype)
-    llama = LlamaForCausalLM(config.text, dtype=dtype)
+    llama = LlamaForCausalLM(config.text, dtype=dtype, quant=quant)
     n = config.num_image_tokens
     mm = llava.init(k1, jnp.zeros(
         (1, config.vision.image_size, config.vision.image_size, 3)))["params"]
