@@ -89,7 +89,8 @@ def main():
                         "vs full=0.604. With donation no-remat fits HBM "
                         "through batch 8; remat remains the escape hatch "
                         "for larger configs")
-    p.add_argument("--quant", choices=["none", "int8"], default="none",
+    p.add_argument("--quant", choices=["none", "int8", "int8_static"],
+                   default="none",
                    help="int8: W8A8 UNet serving path (ops/quant.py) for "
                         "the SD1.5/SDXL pipeline benches. achieved_tflops/"
                         "mfu stay bf16-equivalent (same counted FLOPs, "
@@ -97,9 +98,11 @@ def main():
                         "expected when int8 pays off. Measured r4: +2.6% "
                         "on SD1.5 512px, -35% on SDXL 1024px (the dynamic "
                         "activation-quant prologue is bandwidth-bound and "
-                        "scales with activation bytes) — do not use for "
-                        "SDXL; DeepCache is the SDXL accelerator (+75% at "
-                        "interval 2)")
+                        "scales with activation bytes). int8_static "
+                        "removes that prologue via calibrated per-tensor "
+                        "activation scales (pipeline.calibrate_int8, run "
+                        "on the bench inputs before timing); also applies "
+                        "to --caption (Llama decoder weight-read halving)")
     p.add_argument("--cache-interval", type=int, default=1,
                    help="DeepCache-style deep-feature reuse cadence for the "
                         "pipeline benches (1 = off). N>1 runs the full UNet "
@@ -149,7 +152,11 @@ def main():
         import dataclasses
 
         from consistentid_tpu.testing import tiny_bundle
-        bundle = dataclasses.replace(tiny_bundle(), quant=args.quant)
+        # int8_static starts from the exact bundle; calibrate_int8 below
+        # swaps in the static-quant twin once scales exist
+        bundle = dataclasses.replace(
+            tiny_bundle(),
+            quant=args.quant if args.quant != "int8_static" else "none")
         id_dim = 16
         # smoke mode runs tiny shapes end-to-end: at the default 512px the
         # tiny VAE's small scale factor yields 65k-token self-attention,
@@ -166,7 +173,7 @@ def main():
             unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
             adapter_config=AdapterConfig(),
             dtype=jnp.bfloat16,
-            quant=args.quant,
+            quant=args.quant if args.quant != "int8_static" else "none",
         )
         id_dim = 512
 
@@ -202,6 +209,11 @@ def main():
     kw = dict(parsing_labels=labels, faceid_embeds=faceid,
               num_images_per_prompt=args.batch,
               cache_interval=args.cache_interval)
+    if args.quant == "int8_static":
+        pipe = pipe.calibrate_int8(
+            "portrait photo of a man with a strong face, "
+            "blue eyes, a sharp nose and a wide mouth",
+            face, parsing_labels=labels, faceid_embeds=faceid)
     # warmup / compile
     img = pipe.generate("portrait photo of a man with a strong face, "
                         "blue eyes, a sharp nose and a wide mouth",
@@ -226,7 +238,7 @@ def main():
     assert np.isfinite(out.astype(np.float32)).all()
 
     images_per_min = 60.0 * args.batch / dt
-    tag = " int8" if args.quant == "int8" else ""
+    tag = f" {args.quant}" if args.quant != "none" else ""
     if args.cache_interval > 1:
         tag += f" cache{args.cache_interval}"
     rec = {
@@ -414,22 +426,38 @@ def bench_caption(args):
                                           num_layers=args.caption_layers))
     # batch default 1: 7B bf16 params ≈ 14.1 GB; the KV cache costs
     # 0.39 GB/row at this max_len, so batch is HBM-bound on a 16 GB v5e
-    # (batch 2 at full depth OOMs on XLA layout-copy temps — measured)
+    # (batch 2 at full depth OOMs on XLA layout-copy temps — measured).
+    # --quant int8 halves param HBM to ~7.1 GB, which is what makes
+    # batch > 1 fit at full 7B depth.
     batch = args.batch if args.batch is not None else 1
+    # decode activations are one token/row — the dynamic per-token quant is
+    # already negligible there, so int8_static maps to the same path
+    quant = args.quant in ("int8", "int8_static")
 
-    # bf16 params straight on device: eval_shape the init, then fill each
-    # leaf with a small normal — values don't affect timing, dtype/shape do
+    # params straight on device: eval_shape the init, then fill each leaf
+    # by dtype — values don't affect timing, dtype/shape do. int8 kernels
+    # get random int8, fp32 quant scales get small positives.
     shapes = jax.eval_shape(
-        lambda k: random_llava_params(k, cfg, dtype=jnp.bfloat16),
+        lambda k: random_llava_params(k, cfg, dtype=jnp.bfloat16,
+                                      quant=quant),
         jax.random.PRNGKey(0))
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
 
     @jax.jit
     def make_params(key):
         ks = jax.random.split(key, len(leaves))
+
+        def fill(k, s):
+            if s.dtype == jnp.int8:
+                return jax.random.randint(k, s.shape, -127, 128,
+                                          dtype=jnp.int8)
+            if s.dtype == jnp.float32:  # kernel_scale leaves
+                return jnp.abs(jax.random.normal(k, s.shape,
+                                                 jnp.float32)) * 1e-3 + 1e-4
+            return jax.random.normal(k, s.shape, s.dtype) * 0.02
+
         return jax.tree_util.tree_unflatten(
-            treedef, [jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
-                      for k, s in zip(ks, leaves)])
+            treedef, [fill(k, s) for k, s in zip(ks, leaves)])
 
     params = jax.block_until_ready(make_params(jax.random.PRNGKey(1)))
     n_params = sum(int(np.prod(s.shape)) for s in leaves)
@@ -451,7 +479,7 @@ def bench_caption(args):
     times = {}
     for n_new in (short_n, args.new_tokens):
         fn = make_caption_fn(cfg, max_new_tokens=n_new, eos_token_id=-1,
-                             pad_token_id=0, dtype=jnp.bfloat16)
+                             pad_token_id=0, dtype=jnp.bfloat16, quant=quant)
         np.asarray(fn(params, pixels(0), pre, post))  # compile + warm
         t0 = time.perf_counter()
         for i in range(args.iters):
@@ -476,6 +504,7 @@ def bench_caption(args):
                   + (", tiny" if args.tiny else
                      f", 7B-layer shapes x{cfg.text.num_layers} layers"
                      if args.caption_layers is not None else ", 7B shapes")
+                  + (", int8 decoder" if quant else "")
                   + ")",
         "value": round(captions_min, 3),
         "unit": "captions/min",
@@ -658,7 +687,7 @@ def bench_sdxl(args):
         adapter_config=sdxl_adapter_config(),
         vae_config=VAEConfig(scaling_factor=0.13025, force_upcast=True),
         dtype=jnp.bfloat16,
-        quant=args.quant,
+        quant=args.quant if args.quant != "int8_static" else "none",
     )
     params = bundle.fast_random_params(jax.random.PRNGKey(0))
     steps_a, steps_b = 10, 30
@@ -679,6 +708,10 @@ def bench_sdxl(args):
               faceid_embeds=np.zeros((1, 512), np.float32),
               num_images_per_prompt=args.batch)
     prompt = "portrait photo of a man with a strong face"
+    if args.quant == "int8_static":
+        pipe = pipe.calibrate_int8(
+            prompt, face, parsing_labels=labels,
+            faceid_embeds=np.zeros((1, 512), np.float32))
 
     # -- whole-pipeline throughput, double-buffered at args.steps --
     out = pipe.generate(prompt, face, seed=0, **kw)  # compile
@@ -713,7 +746,7 @@ def bench_sdxl(args):
 
     # no published reference number; north-star heuristic: 2 img/min at
     # 1024px 50 steps on one v5e chip (mirrors BASELINE's SDXL row)
-    tag = " int8" if args.quant == "int8" else ""
+    tag = f" {args.quant}" if args.quant != "none" else ""
     if args.cache_interval > 1:
         tag += f" cache{args.cache_interval}"
     rec = {

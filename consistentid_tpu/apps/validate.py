@@ -262,16 +262,19 @@ def synthesize(outdir: str) -> Dict[str, str]:
 # ------------------------------------------------------- accelerator modes
 
 SERVING_MODES = (("exact", "none", 1), ("int8", "int8", 1),
+                 ("int8_static", "int8_static", 1),
                  ("cache2", "none", 2), ("cache3", "none", 3))
 
 
 def run_mode_sweep(pipe, face, n_rows: int, clip_projections=None) -> Dict:
-    """Score every serving mode (exact bf16 / int8 W8A8 / DeepCache 2 / 3)
-    on the SAME rows and seeds: {mode: {img_per_min, face_sim, clip_t,
-    d_face_sim, d_clip_t}}. Quality deltas are vs the exact row — the
-    identity metrics (eval/metrics.py) rather than tensor-level pixel
-    bounds, because a cache interval that degrades identity must show up
-    here, not in a pixel-diff test (VERDICT r3 weak #3)."""
+    """Score every serving mode (exact bf16 / int8 W8A8 dynamic /
+    int8_static calibrated / DeepCache 2 / 3) on the SAME rows and seeds:
+    {mode: {img_per_min, face_sim, clip_t, d_face_sim, d_clip_t}}.
+    Quality deltas are vs the exact row — the identity metrics
+    (eval/metrics.py) rather than tensor-level pixel bounds, because a
+    cache interval that degrades identity must show up here, not in a
+    pixel-diff test (VERDICT r3 weak #3). int8_static is calibrated on
+    the sweep's identity image + first prompt (calibrate_int8)."""
     import tempfile
 
     from ..eval.metrics import FaceSimScorer
@@ -295,6 +298,8 @@ def run_mode_sweep(pipe, face, n_rows: int, clip_projections=None) -> Dict:
             visual_projection=proj["visual_projection.weight"].T)
 
     by_mode = {"exact": pipe, "int8": pipe.with_quant("int8"),
+               "int8_static": pipe.calibrate_int8(rows[0].prompt, face,
+                                                  num_calib_steps=4),
                "cache2": pipe, "cache3": pipe}
 
     out: Dict = {}
@@ -620,7 +625,7 @@ def main(argv=None) -> int:
 
         if args.mode_sweep > 0:
             print(f"stage 5: serving-mode sweep ({args.mode_sweep} rows x "
-                  f"exact/int8/cache2/cache3)")
+                  f"exact/int8/int8_static/cache2/cache3)")
             try:
                 report["metrics"]["mode_sweep"] = run_mode_sweep(
                     pipe, face, args.mode_sweep,

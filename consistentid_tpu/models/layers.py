@@ -9,14 +9,15 @@ NHWC so convolutions map directly onto TPU's preferred layout.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention, merge_heads, split_heads
-from ..ops.quant import int8_conv, int8_matmul
+from ..ops.quant import (int8_conv_quantized, int8_matmul_quantized,
+                         quantize_symmetric, quantize_with_scale)
 
 GN_EPS = 1e-5          # resnet / conv-out group norms
 GN_EPS_TRANSFORMER = 1e-6  # transformer input group norm
@@ -26,8 +27,16 @@ LN_EPS = 1e-5
 class Int8Conv(nn.Module):
     """W8A8 conv for the quantized serving path (ops/quant.py): int8
     per-out-channel kernel + fp32 scale params (produced from the folded
-    float kernels by quantize_params_like), dynamic per-example activation
-    quant, int32 MXU accumulation. Param names kernel_q/kernel_scale/bias."""
+    float kernels by quantize_params_like), int32 MXU accumulation. Param
+    names kernel_q/kernel_scale/bias.
+
+    Activation quant is dynamic per-example by default; `static_act=True`
+    reads a calibrated per-tensor `act_scale` param instead — no amax
+    reduction before the conv, the bandwidth-bound prologue that made
+    dynamic int8 a net loss at SDXL 1024px (ROUND_NOTES r4). Dynamic
+    applies sow the observed per-tensor amax into the "calib" collection
+    (a no-op unless the caller passes mutable=["calib"]) so calibration
+    runs through the exact serving graph."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -35,6 +44,7 @@ class Int8Conv(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    static_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -44,7 +54,15 @@ class Int8Conv(nn.Module):
         ws = self.param("kernel_scale", nn.initializers.ones,
                         (self.features,), jnp.float32)
         pad = [(self.padding, self.padding)] * 2
-        y = int8_conv(x, wq, ws, self.strides, pad)
+        if self.static_act:
+            s = self.param("act_scale", nn.initializers.ones, (),
+                           jnp.float32)
+            y = int8_conv_quantized(quantize_with_scale(x, s), s, wq, ws,
+                                    self.strides, pad)
+        else:
+            xq, xscale = quantize_symmetric(x, axis=(1, 2, 3), keepdims=True)
+            self.sow("calib", "act_amax", jnp.max(xscale) * 127.0)
+            y = int8_conv_quantized(xq, xscale, wq, ws, self.strides, pad)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -54,11 +72,13 @@ class Int8Conv(nn.Module):
 
 class Int8Dense(nn.Module):
     """W8A8 dense: int8 (I, O) kernel + per-out-channel scale, dynamic
-    per-token activation quant. Drop-in for nn.Dense on the quant path."""
+    per-token (or calibrated static per-tensor, see Int8Conv) activation
+    quant. Drop-in for nn.Dense on the quant path."""
 
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    static_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -66,7 +86,15 @@ class Int8Dense(nn.Module):
                         (x.shape[-1], self.features), jnp.int8)
         ws = self.param("kernel_scale", nn.initializers.ones,
                         (self.features,), jnp.float32)
-        y = int8_matmul(x, wq, ws)
+        if self.static_act:
+            s = self.param("act_scale", nn.initializers.ones, (),
+                           jnp.float32)
+            y = int8_matmul_quantized(quantize_with_scale(x, s), s, wq, ws)
+        else:
+            xq, xscale = quantize_symmetric(x, axis=(x.ndim - 1,),
+                                            keepdims=True)
+            self.sow("calib", "act_amax", jnp.max(xscale) * 127.0)
+            y = int8_matmul_quantized(xq, xscale, wq, ws)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -76,11 +104,14 @@ class Int8Dense(nn.Module):
 
 def conv2d(features, kernel_size, *, strides=(1, 1), padding=1,
            use_bias=True, dtype=jnp.float32, name=None, quant=False):
-    """nn.Conv or its W8A8 twin, padding given as a symmetric int."""
+    """nn.Conv or its W8A8 twin, padding given as a symmetric int.
+
+    `quant`: False = float; True = int8 with dynamic activation quant;
+    "static" = int8 with calibrated per-tensor act_scale params."""
     if quant:
         return Int8Conv(features, kernel_size, strides=strides,
                         padding=padding, use_bias=use_bias, dtype=dtype,
-                        name=name)
+                        static_act=(quant == "static"), name=name)
     return nn.Conv(features, kernel_size, strides=strides, padding=padding,
                    use_bias=use_bias, dtype=dtype, name=name)
 
@@ -88,7 +119,8 @@ def conv2d(features, kernel_size, *, strides=(1, 1), padding=1,
 def dense(features, *, use_bias=True, dtype=jnp.float32, name=None,
           quant=False):
     if quant:
-        return Int8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+        return Int8Dense(features, use_bias=use_bias, dtype=dtype,
+                         static_act=(quant == "static"), name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
@@ -140,7 +172,7 @@ class ResnetBlock(nn.Module):
     out_channels: int
     groups: int = 32
     use_time_emb: bool = True
-    quant: bool = False   # W8A8 convs (time_emb_proj / norms stay float)
+    quant: Any = False    # W8A8 convs (time_emb_proj / norms stay float)
     fused_gn: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -167,7 +199,7 @@ class ResnetBlock(nn.Module):
 
 class Downsample(nn.Module):
     out_channels: int
-    quant: bool = False
+    quant: Any = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -189,7 +221,7 @@ def upsample2x_nearest(x: jax.Array) -> jax.Array:
 
 class Upsample(nn.Module):
     out_channels: int
-    quant: bool = False
+    quant: Any = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -236,7 +268,7 @@ class Attention(nn.Module):
     ip_num_tokens: int = 0              # only meaningful for cross-attn
     # W8A8 q/k/v/out projections; the decoupled-IP branch and LoRA deltas
     # stay float (quant is the post-fold inference path, lora_rank==0 there)
-    quant: bool = False
+    quant: Any = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -293,7 +325,7 @@ class Attention(nn.Module):
 class GEGLUFeedForward(nn.Module):
     dim: int
     mult: int = 4
-    quant: bool = False
+    quant: Any = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -313,7 +345,7 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int
     lora_rank: int = 0
     ip_num_tokens: int = 0
-    quant: bool = False
+    quant: Any = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -349,7 +381,7 @@ class Transformer2D(nn.Module):
     groups: int = 32
     lora_rank: int = 0
     ip_num_tokens: int = 0
-    quant: bool = False
+    quant: Any = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -19,7 +19,7 @@ intent inherited from FastComposer.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -53,8 +53,10 @@ class UNet(nn.Module):
     # W8A8 int8 serving path (ops/quant.py): block convs + attention/FF
     # projections run on the int8 MXU; conv_in/conv_out, time embeddings,
     # norms and the IP branch stay float. Inference-only — pair with
-    # lora_rank=0 params produced by quantize_params_like.
-    quant: bool = False
+    # lora_rank=0 params produced by quantize_params_like. False = float,
+    # True = dynamic activation quant, "static" = calibrated per-tensor
+    # activation scales (act_scale params, no per-call amax prologue).
+    quant: Any = False
     # restructured GroupNorm+SiLU (ops/group_norm.py) in the resnet blocks
     # and conv_norm_out — A/B lever for the training graph's bandwidth-
     # bound norm share; identical params and math, off by default

@@ -41,7 +41,8 @@ from ..core.config import (AdapterConfig, PipelineConfig, SchedulerConfig,
                            CLIPVisionConfig, sd15_unet_config)
 from ..models import AutoencoderKL, CLIPTextEncoder, CLIPVisionEncoder, UNet
 from ..models.lora import fold_lora_params
-from ..ops.quant import quantize_params_like
+from ..ops.quant import (act_scales_from_calib, merge_act_scales,
+                         quantize_params_like)
 from ..sampling import CondBranch, NoiseSchedule, denoise, make_plan
 from ..utils.image import center_crop_mask, clip_preprocess, postprocess_to_uint8
 
@@ -103,20 +104,36 @@ class SD15Bundle:
     # "int8": W8A8 UNet serving path (ops/quant.py) — LoRA-folded kernels
     # quantized once per generate() inside the jitted graph, block convs +
     # attention/FF projections run on the int8 MXU (2x bf16 peak on v5e).
+    # "int8_static": same int8 layers but with CALIBRATED per-tensor
+    # activation scales (act_scales below) instead of the per-call amax
+    # prologue — the prologue is bandwidth-bound and made dynamic int8 a
+    # 35% net loss at SDXL 1024px (ROUND_NOTES r4). Calibrate via
+    # pipeline.calibrate_int8().
     quant: str = "none"
+    # act_scale tree for quant="int8_static" (module path -> {"act_scale"}),
+    # from ops.quant.act_scales_from_calib over dynamic-int8 applies
+    act_scales: Optional[Dict] = None
+
+    _QUANT_MODES = {"none": False, "int8": True, "int8_static": "static"}
 
     def __post_init__(self):
-        if self.quant not in ("none", "int8"):
-            raise ValueError(f"quant must be 'none' or 'int8': {self.quant}")
+        if self.quant not in self._QUANT_MODES:
+            raise ValueError("quant must be one of "
+                             f"{sorted(self._QUANT_MODES)}: {self.quant}")
+        if self.quant == "int8_static" and self.act_scales is None:
+            raise ValueError(
+                "quant='int8_static' needs calibrated act_scales — run "
+                "pipeline.calibrate_int8() (dynamic-int8 applies with "
+                "mutable calib) and pass the result")
         self.unet = UNet(self.unet_config, dtype=self.dtype,
                          remat=self.remat, remat_policy=self.remat_policy,
                          fused_gn=self.fused_gn)
         # inference twin: LoRA folded into the base kernels (models/lora.py),
-        # so the denoise scan runs a lora_rank=0 graph; with quant="int8" the
-        # twin additionally runs the W8A8 layers
+        # so the denoise scan runs a lora_rank=0 graph; with quant="int8*"
+        # the twin additionally runs the W8A8 layers
         self.unet_infer = (UNet(
             dataclasses.replace(self.unet_config, lora_rank=0),
-            dtype=self.dtype, quant=self.quant == "int8")
+            dtype=self.dtype, quant=self._QUANT_MODES[self.quant])
             if self.unet_config.lora_rank > 0 or self.quant != "none"
             else self.unet)
         self._quant_struct_cache = None
@@ -151,10 +168,18 @@ class SD15Bundle:
         the denoise scan."""
         if self.unet_config.lora_rank > 0:
             unet_params = fold_lora_params(unet_params, lora_scale)
-        if self.quant == "int8":
+        if self.quant in ("int8", "int8_static"):
             unet_params = quantize_params_like(self._quant_param_struct(),
-                                               unet_params)
+                                               unet_params,
+                                               act_scales=self.act_scales)
         return self.unet_infer, unet_params
+
+    def calibration_unet(self):
+        """The dynamic-int8 twin used for calibration applies: identical
+        graph to quant="int8" serving, with the Int8 layers sowing their
+        observed activation amax into the "calib" collection."""
+        return UNet(dataclasses.replace(self.unet_config, lora_rank=0),
+                    dtype=self.dtype, quant=True)
 
     def _quant_param_struct(self):
         """Param structure (ShapeDtypeStructs) of the quantized inference
@@ -310,23 +335,119 @@ class ConsistentIDPipeline:
             static_argnames=("num_steps", "scheduler", "cache_interval"))
         self._last_core_args = None  # for last_cost_analysis()
 
-    def with_quant(self, quant: str) -> "ConsistentIDPipeline":
+    def with_quant(self, quant: str,
+                   act_scales=None) -> "ConsistentIDPipeline":
         """The same pipeline serving its UNet at a different quant mode
-        ("none"/"int8"). Params, tokenizers, and host helpers are shared;
-        the bundle twin and the jit cache are fresh (quant changes the
-        compiled denoise graph, so the caller's compiled graphs must not
-        be reused). Works for every subclass — used by
-        apps/validate.py's --mode-sweep to score int8 against exact."""
+        ("none"/"int8"/"int8_static"). Params, tokenizers, and host helpers
+        are shared; the bundle twin and the jit cache are fresh (quant
+        changes the compiled denoise graph, so the caller's compiled graphs
+        must not be reused). Works for every subclass — used by
+        apps/validate.py's --mode-sweep to score int8 against exact.
+        "int8_static" needs `act_scales` (or a previously calibrated
+        bundle) — see calibrate_int8()."""
         import copy
         import dataclasses
 
         p = copy.copy(self)
-        p.bundle = dataclasses.replace(self.bundle, quant=quant)
+        p.bundle = dataclasses.replace(
+            self.bundle, quant=quant,
+            act_scales=(act_scales if act_scales is not None
+                        else self.bundle.act_scales))
         p._core_jit = jax.jit(
             p._generate_core,
             static_argnames=("num_steps", "scheduler", "cache_interval"))
         p._last_core_args = None
         return p
+
+    def _calibration_batch(self, params, cond):
+        """(contexts, added_cond) covering every context the serving graph
+        feeds the UNet: CFG null + facial-augmented + text-only (the
+        pre-merge branch). One UNet apply over this batch observes the
+        activation ranges of all three."""
+        null_e, aug_e, text_e = self.encode_embeddings(params, cond)
+        return jnp.concatenate([null_e, aug_e, text_e], axis=0), None
+
+    def calibrate_int8(self, prompt: str, face_image,
+                       num_calib_steps: int = 8, seed: int = 0,
+                       margin: float = 1.1, negative_prompt: str = "",
+                       parsing_labels=None, faceid_embeds=None,
+                       height=None, width=None) -> "ConsistentIDPipeline":
+        """Post-training calibration -> a pipeline serving
+        quant="int8_static" (int8 MXU matmuls/convs WITHOUT the per-call
+        dynamic activation-amax prologue, the bandwidth-bound reduction
+        that made dynamic int8 a 35% net loss at SDXL 1024px).
+
+        Q-Diffusion-style max calibration: the dynamic-int8 UNet twin runs
+        over q-sample latents x_t = sqrt(a_t)*x0 + sqrt(1-a_t)*eps built
+        from the VAE encoding of `face_image` at `num_calib_steps`
+        timesteps spread across the schedule, with the real CFG contexts;
+        each Int8 layer sows its observed activation amax ("calib"
+        collection), max-merged across steps and scaled by `margin` into
+        per-tensor act_scale params. Calibrate on a handful of
+        representative identity images/prompts for serving; re-run when
+        the adapter weights change."""
+        cfg = self.config
+        height = height or cfg.height
+        width = width or cfg.width
+
+        cond = self.prepare_conditioning(
+            prompt, face_image, parsing_labels=parsing_labels,
+            faceid_embeds=faceid_embeds, negative_prompt=negative_prompt)
+        cond = self._device_cond(cond)
+        # jit the one-off prep: eager op-by-op execution costs a dispatch
+        # per op through a remote-TPU tunnel
+        ctx, added = jax.jit(self._calibration_batch)(self.params, cond)
+        bsz = ctx.shape[0]
+
+        # real-data latent: VAE-encode the identity image at generation size
+        img = np.asarray(
+            face_image.convert("RGB").resize((width, height), Image.BICUBIC),
+            np.float32) / 127.5 - 1.0
+        x0 = jax.jit(lambda p, x: self.bundle.vae.apply(
+            {"params": p}, x, method=AutoencoderKL.encode))(
+            self.params["vae"], jnp.asarray(img)[None])
+
+        calib_unet = self.bundle.calibration_unet()
+        dummy_latent, dummy_ctx, dummy_added = self.bundle._unet_init_args(8)
+        struct = jax.eval_shape(
+            lambda: calib_unet.init(jax.random.PRNGKey(0), dummy_latent,
+                                    jnp.array([0]), dummy_ctx,
+                                    added_cond=dummy_added))["params"]
+        uparams = self.params["unet"]
+        if self.bundle.unet_config.lora_rank > 0:
+            uparams = fold_lora_params(uparams, 1.0)
+        qparams = jax.jit(
+            lambda p: quantize_params_like(struct, p))(uparams)
+
+        # one jitted graph per calibration step (q-sample + dynamic-int8
+        # UNet apply + amax->scale + merge): eager per-layer scale math
+        # would cost hundreds of tunnel dispatches per step
+        def step_scales(p, x0_, key, t, c, a):
+            noise = jax.random.normal(key, x0_.shape, jnp.float32)
+            xt = self.schedule.add_noise(x0_.astype(jnp.float32), noise,
+                                         jnp.full((1,), t))
+            xt = jnp.broadcast_to(xt, (bsz, *xt.shape[1:]))
+            calib = calib_unet.apply(
+                {"params": p}, xt, jnp.full((bsz,), t, jnp.int32), c,
+                added_cond=a, mutable=["calib"])[1]["calib"]
+            return act_scales_from_calib(calib, margin)
+
+        first_jit = jax.jit(step_scales)
+        merge_jit = jax.jit(lambda p, x0_, key, t, c, a, prev:
+                            merge_act_scales(
+                                [prev, step_scales(p, x0_, key, t, c, a)]))
+        n_train = len(self.schedule.alphas_cumprod)
+        ts = np.linspace(0, n_train - 1,
+                         num_calib_steps).round().astype(np.int32)
+        rng = jax.random.PRNGKey(seed)
+        scales = None
+        for t in ts:
+            rng, k = jax.random.split(rng)
+            args = (qparams, x0, k, jnp.int32(int(t)), ctx, added)
+            scales = (first_jit(*args) if scales is None
+                      else merge_jit(*args, scales))
+        scales = jax.device_get(scales)
+        return self.with_quant("int8_static", act_scales=scales)
 
     # ---------------- host-side prepare ----------------
 

@@ -149,6 +149,18 @@ class ConsistentIDXLPipeline(ConsistentIDPipeline):
             pooled=pooled_text_only, pooled_null=pooled_negative)
         return text, facial
 
+    def _calibration_batch(self, params, cond):
+        """SDXL twist on the SD1.5 calibration batch: dual-tower contexts
+        plus the pooled/time_ids added-cond the serving graph always
+        feeds the UNet (sampling/sampler.py added handling)."""
+        text_b, facial_b = self.encode_embeddings_xl(params, cond)
+        ctx = jnp.concatenate(
+            [facial_b.null, facial_b.context, text_b.context], axis=0)
+        pooled = jnp.concatenate(
+            [facial_b.pooled_null, facial_b.pooled, text_b.pooled], axis=0)
+        time_ids = jnp.concatenate([cond["time_ids"]] * 3, axis=0)
+        return ctx, {"text_embeds": pooled, "time_ids": time_ids}
+
     def _generate_core(self, params, cond, latents, guidance_scale,
                        start_merge_step, num_steps, scheduler, ip_scale,
                        lora_scale, rng=None, cache_interval=1):
