@@ -318,6 +318,11 @@ def main(argv=None):
                                  "halves param HBM (7B batch>1 fits 16 GB) "
                                  "and the per-token weight read that bounds "
                                  "greedy decode")
+            sp.add_argument("--tp", type=int, default=1,
+                            help="tensor-parallel degree for the "
+                                 "LlavaCaptioner decoder (model-axis mesh; "
+                                 "N-way TP reads 1/N of the weights per "
+                                 "chip per decoded token)")
         if stage == "faceid":
             sp.add_argument("--arcface", required=True)
             sp.add_argument("--batch-size", type=int, default=32)
@@ -328,7 +333,8 @@ def main(argv=None):
     elif args.stage == "caption":
         from ..conditioning.captioner import make_captioner
         captioner = make_captioner(args.captioner_cmd, args.captioner_url,
-                                   args.captioner_llava, quant=args.quant)
+                                   args.captioner_llava, quant=args.quant,
+                                   tp=args.tp)
         try:
             run_caption(args.images, args.out, captioner,
                         batch_size=args.batch)

@@ -87,7 +87,8 @@ class LlavaCaptioner:
                  max_new_tokens: int = 512, dtype=None,
                  caption_prompt: str = CAPTION_PROMPT,
                  detail_prompt: str = DETAIL_PROMPT,
-                 system: str = LLAVA_SYSTEM, quant: str = "none"):
+                 system: str = LLAVA_SYSTEM, quant: str = "none",
+                 mesh=None):
         import jax.numpy as jnp
 
         from ..core.config import LlavaConfig
@@ -109,6 +110,14 @@ class LlavaCaptioner:
         elif quant != "none":
             raise ValueError(f"unknown quant mode {quant!r} "
                              "(expected 'none' or 'int8')")
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # Megatron-style TP over the mesh's model axis: params are
+            # device_put with column/row shardings and XLA's SPMD
+            # partitioner splits every jitted graph (prefill + decode
+            # while-loop included). Decode is weight-read-bound, so N-way
+            # TP reads 1/N of the weights per chip per token.
+            from ..parallel.tensor_parallel import apply_llava_tensor_parallel
+            params = apply_llava_tensor_parallel(params, mesh)
         self.params = params
         self.tokenizer = tokenizer
         self.caption_prompt = caption_prompt
@@ -323,13 +332,19 @@ class HTTPCaptioner:
 def make_captioner(command: Optional[str] = None,
                    url: Optional[str] = None,
                    llava_dir: Optional[str] = None,
-                   quant: str = "none") -> Callable:
+                   quant: str = "none", tp: int = 1) -> Callable:
     """CLI helper: build the captioner from
     --captioner-cmd/--captioner-url/--captioner-llava flags; the template
     default when none is given (the reference's shipped inference
-    behavior). `quant` applies to the in-repo LLaVA only."""
+    behavior). `quant`/`tp` apply to the in-repo LLaVA only; tp > 1
+    shards the 7B decoder over a model-axis mesh of tp devices."""
     if llava_dir:
-        return LlavaCaptioner.from_pretrained(llava_dir, quant=quant)
+        mesh = None
+        if tp > 1:
+            from ..parallel import make_mesh
+            mesh = make_mesh(data=1, model=tp)
+        return LlavaCaptioner.from_pretrained(llava_dir, quant=quant,
+                                              mesh=mesh)
     if command:
         return SubprocessCaptioner(command)
     if url:

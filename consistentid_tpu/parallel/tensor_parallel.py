@@ -72,3 +72,52 @@ def bundle_param_shardings(params: Dict, mesh: Mesh) -> Dict:
 def apply_tensor_parallel(params: Dict, mesh: Mesh) -> Dict:
     """device_put the bundle with TP shardings."""
     return jax.device_put(params, bundle_param_shardings(params, mesh))
+
+
+# ------------------------------------------------------------ LLaVA / Llama
+
+# Llama decoder TP (Megatron-style): q/k/v + MLP in-projections and the
+# lm_head column-parallel (output dim sharded -> head-parallel attention,
+# vocab-parallel logits), o_proj/down_proj row-parallel (input dim sharded;
+# XLA all-reduces the partial sums over ICI). The KV cache inherits the
+# head sharding through propagation from the sharded k/v projections.
+_LLAMA_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+              "lm_head")
+_LLAMA_ROW = ("o_proj", "down_proj")
+
+
+def _llama_spec_for(path, leaf) -> P:
+    name = path[-2] if len(path) >= 2 else ""
+    kind = path[-1]
+    if kind in ("kernel", "kernel_q") and leaf.ndim == 2:
+        if name in _LLAMA_COL:
+            return P(None, MODEL_AXIS)
+        if name in _LLAMA_ROW:
+            return P(MODEL_AXIS, None)
+    if kind == "kernel_scale" and name in _LLAMA_COL:
+        # per-out-channel int8 scales follow the column shard
+        return P(MODEL_AXIS)
+    return P()
+
+
+def llama_param_shardings(llama_params: Dict, mesh: Mesh) -> Dict:
+    """NamedSharding tree for a Llama param tree (float or int8 layout);
+    embeddings and norms replicated."""
+    flat = traverse_util.flatten_dict(llama_params)
+    out = {k: NamedSharding(mesh, _llama_spec_for(k, v))
+           for k, v in flat.items()}
+    return traverse_util.unflatten_dict(out)
+
+
+def apply_llava_tensor_parallel(params: Dict, mesh: Mesh) -> Dict:
+    """device_put LLaVA captioner params ({"mm", "llama"}) with TP on the
+    Llama decoder; the vision tower + projector (prefill-only cost) stay
+    replicated. The beyond-parity scaling path for 7B captioning past one
+    chip's HBM bandwidth (ROUND_NOTES r4: decode is weight-read-bound, so
+    N-way TP reads 1/N of the weights per chip per token)."""
+    shard = {
+        "mm": jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), params["mm"]),
+        "llama": llama_param_shardings(params["llama"], mesh),
+    }
+    return jax.device_put(params, shard)

@@ -96,3 +96,90 @@ def test_pipeline_generate_tp_matches_single_device():
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1, diff.max()
     assert (diff > 0).mean() < 0.05
+
+
+def test_llama_tp_decode_matches_replicated():
+    """TP-sharded LLaVA captioner decode == replicated decode: the Llama
+    projections are column/row-sharded over the model axis
+    (tensor_parallel.apply_llava_tensor_parallel) and XLA partitions the
+    whole prefill + while-loop decode graph; greedy ids and full-forward
+    logits must agree with the unsharded run (all-reduce reassociation
+    tolerance on logits, exact on the argmax path for non-degenerate
+    weights). This is the fgid caption --tp path."""
+    from consistentid_tpu.core.config import (CLIPVisionConfig, LlamaConfig,
+                                              LlavaConfig)
+    from consistentid_tpu.models.llama import LlamaForCausalLM, \
+        greedy_generate
+    from consistentid_tpu.models.llava import random_llava_params
+    from consistentid_tpu.parallel.tensor_parallel import (
+        apply_llava_tensor_parallel, llama_param_shardings)
+
+    text = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                       num_layers=2, num_heads=4, num_kv_heads=2,
+                       max_position_embeddings=64)
+    cfg = LlavaConfig(
+        vision=CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=24,
+                                intermediate_size=48, num_layers=2,
+                                num_heads=2, hidden_act="quick_gelu"),
+        text=text, image_token_id=63)
+    params = random_llava_params(jax.random.PRNGKey(0), cfg)
+    model = LlamaForCausalLM(text)
+    prompts = jax.random.randint(jax.random.PRNGKey(2), (2, 7), 3, 60)
+
+    want_logits, _ = model.apply({"params": params["llama"]}, prompts)
+    want_ids = greedy_generate(model, {"params": params["llama"]}, prompts,
+                               max_new_tokens=6, eos_token_id=2)
+
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    shard = llama_param_shardings(params["llama"], mesh)
+    flat = traverse_util.flatten_dict(shard)
+    sharded = [k for k, s in flat.items()
+               if s.spec != jax.sharding.PartitionSpec()]
+    assert any("q_proj" in k for k in sharded)
+    assert any("down_proj" in k for k in sharded)
+    assert not any("embed_tokens" in k for k in sharded)
+
+    tp_params = apply_llava_tensor_parallel(params, mesh)
+    got_logits, _ = jax.jit(
+        lambda p, ids: model.apply({"params": p}, ids))(
+        tp_params["llama"], prompts)
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(want_logits),
+                               atol=2e-4, rtol=1e-4)
+    got_ids = greedy_generate(model, {"params": tp_params["llama"]},
+                              prompts, max_new_tokens=6, eos_token_id=2)
+    np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(want_ids))
+
+
+def test_llava_captioner_tp_matches_single_device():
+    """End-to-end: LlavaCaptioner(mesh=model-axis mesh) produces the same
+    captions as the unsharded captioner (jitted splice + prefill + decode
+    all GSPMD-partitioned)."""
+    from PIL import Image
+
+    from consistentid_tpu.conditioning.captioner import LlavaCaptioner
+    from consistentid_tpu.core.config import (CLIPVisionConfig, LlamaConfig,
+                                              LlavaConfig)
+    from consistentid_tpu.models.llava import random_llava_params
+    from tests.test_llava_captioner import FakeLlamaTokenizer
+
+    cfg = LlavaConfig(
+        vision=CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=24,
+                                intermediate_size=48, num_layers=2,
+                                num_heads=2, hidden_act="quick_gelu"),
+        text=LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_layers=2, num_heads=4, num_kv_heads=2,
+                         max_position_embeddings=512),
+        image_token_id=63)
+    params = random_llava_params(jax.random.PRNGKey(0), cfg)
+    img = Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (30, 30, 3), np.uint8))
+
+    ref = LlavaCaptioner(params, FakeLlamaTokenizer(), config=cfg,
+                         max_new_tokens=6, dtype=jnp.float32)
+    want = ref.generate(img, "describe the face")
+
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    tp = LlavaCaptioner(params, FakeLlamaTokenizer(), config=cfg,
+                        max_new_tokens=6, dtype=jnp.float32, mesh=mesh)
+    assert tp.generate(img, "describe the face") == want
