@@ -63,6 +63,11 @@ def main():
                         "caps at 512, data/FGID_caption.py:57; typical FGID "
                         "captions are ~100-150 tokens). Decode cost scales "
                         "linearly — tok/s is also reported")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="--caption: int8 KV cache (QuantLayerKV) — halves "
+                        "the batch-linear KV read of greedy decode, the "
+                        "term that made batch 8 regress vs batch 4 at full "
+                        "7B depth")
     p.add_argument("--caption-layers", type=int, default=None,
                    help="--caption: override the Llama decoder depth while "
                         "keeping every per-layer shape at 7B. Full 7B bf16 "
@@ -479,7 +484,8 @@ def bench_caption(args):
     times = {}
     for n_new in (short_n, args.new_tokens):
         fn = make_caption_fn(cfg, max_new_tokens=n_new, eos_token_id=-1,
-                             pad_token_id=0, dtype=jnp.bfloat16, quant=quant)
+                             pad_token_id=0, dtype=jnp.bfloat16, quant=quant,
+                             kv_quant=args.kv_quant)
         np.asarray(fn(params, pixels(0), pre, post))  # compile + warm
         t0 = time.perf_counter()
         for i in range(args.iters):
@@ -505,6 +511,7 @@ def bench_caption(args):
                      f", 7B-layer shapes x{cfg.text.num_layers} layers"
                      if args.caption_layers is not None else ", 7B shapes")
                   + (", int8 decoder" if quant else "")
+                  + (", int8 kv" if args.kv_quant else "")
                   + ")",
         "value": round(captions_min, 3),
         "unit": "captions/min",

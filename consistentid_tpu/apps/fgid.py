@@ -323,6 +323,10 @@ def main(argv=None):
                                  "LlavaCaptioner decoder (model-axis mesh; "
                                  "N-way TP reads 1/N of the weights per "
                                  "chip per decoded token)")
+            sp.add_argument("--kv-quant", action="store_true",
+                            help="int8 KV cache for the LlavaCaptioner — "
+                                 "halves the batch-linear KV read of "
+                                 "greedy decode")
         if stage == "faceid":
             sp.add_argument("--arcface", required=True)
             sp.add_argument("--batch-size", type=int, default=32)
@@ -334,7 +338,7 @@ def main(argv=None):
         from ..conditioning.captioner import make_captioner
         captioner = make_captioner(args.captioner_cmd, args.captioner_url,
                                    args.captioner_llava, quant=args.quant,
-                                   tp=args.tp)
+                                   tp=args.tp, kv_quant=args.kv_quant)
         try:
             run_caption(args.images, args.out, captioner,
                         batch_size=args.batch)

@@ -88,7 +88,7 @@ class LlavaCaptioner:
                  caption_prompt: str = CAPTION_PROMPT,
                  detail_prompt: str = DETAIL_PROMPT,
                  system: str = LLAVA_SYSTEM, quant: str = "none",
-                 mesh=None):
+                 kv_quant: bool = False, mesh=None):
         import jax.numpy as jnp
 
         from ..core.config import LlavaConfig
@@ -127,7 +127,7 @@ class LlavaCaptioner:
             self.config, max_new_tokens=max_new_tokens,
             eos_token_id=int(tokenizer.eos_token_id),
             pad_token_id=0, dtype=dtype or jnp.bfloat16,
-            quant=(quant == "int8"))
+            quant=(quant == "int8"), kv_quant=kv_quant)
 
     @classmethod
     def from_pretrained(cls, model_dir: str, **kw) -> "LlavaCaptioner":
@@ -332,19 +332,20 @@ class HTTPCaptioner:
 def make_captioner(command: Optional[str] = None,
                    url: Optional[str] = None,
                    llava_dir: Optional[str] = None,
-                   quant: str = "none", tp: int = 1) -> Callable:
+                   quant: str = "none", tp: int = 1,
+                   kv_quant: bool = False) -> Callable:
     """CLI helper: build the captioner from
     --captioner-cmd/--captioner-url/--captioner-llava flags; the template
     default when none is given (the reference's shipped inference
-    behavior). `quant`/`tp` apply to the in-repo LLaVA only; tp > 1
-    shards the 7B decoder over a model-axis mesh of tp devices."""
+    behavior). `quant`/`tp`/`kv_quant` apply to the in-repo LLaVA only;
+    tp > 1 shards the 7B decoder over a model-axis mesh of tp devices."""
     if llava_dir:
         mesh = None
         if tp > 1:
             from ..parallel import make_mesh
             mesh = make_mesh(data=1, model=tp)
         return LlavaCaptioner.from_pretrained(llava_dir, quant=quant,
-                                              mesh=mesh)
+                                              kv_quant=kv_quant, mesh=mesh)
     if command:
         return SubprocessCaptioner(command)
     if url:

@@ -41,12 +41,31 @@ class LayerKV(NamedTuple):
     v: jax.Array
 
 
+class QuantLayerKV(NamedTuple):
+    """int8 KV cache: halves the per-token KV read that grows linearly
+    with batch (the measured reason captioning regressed from batch 4 to
+    batch 8, ROUND_NOTES r4). Per-(batch, head, position) symmetric
+    scales — 4 bytes of scale per 128 bytes of head data."""
+
+    k: jax.Array        # (B, kv_heads, max_len, head_dim) int8
+    k_scale: jax.Array  # (B, kv_heads, max_len, 1) fp32
+    v: jax.Array
+    v_scale: jax.Array
+
+
 Cache = List[LayerKV]
 
 
 def init_cache(config: LlamaConfig, batch: int, max_len: int,
-               dtype=jnp.float32) -> Cache:
+               dtype=jnp.float32, kv_quant: bool = False) -> Cache:
     shape = (batch, config.num_kv_heads, max_len, config.head_dim)
+    if kv_quant:
+        sshape = shape[:-1] + (1,)
+        return [QuantLayerKV(jnp.zeros(shape, jnp.int8),
+                             jnp.ones(sshape, jnp.float32),
+                             jnp.zeros(shape, jnp.int8),
+                             jnp.ones(sshape, jnp.float32))
+                for _ in range(config.num_layers)]
     return [LayerKV(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for _ in range(config.num_layers)]
 
@@ -117,14 +136,32 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        k_cache = jax.lax.dynamic_update_slice(
-            kv.k, k.astype(kv.k.dtype), (0, 0, cache_index, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            kv.v, v.astype(kv.v.dtype), (0, 0, cache_index, 0))
-        new_kv = LayerKV(k_cache, v_cache)
+        if isinstance(kv, QuantLayerKV):
+            # int8 KV: quantize the new keys/values per (batch, head,
+            # position) on write, dequantize on read — the attention math
+            # itself stays in the compute dtype; only the cache bytes (the
+            # batch-linear HBM read) halve.
+            from ..ops.quant import quantize_symmetric
 
-        kk = k_cache[:, :, :attn_len]
-        vv = v_cache[:, :, :attn_len]
+            kq, ks = quantize_symmetric(k, axis=(3,), keepdims=True)
+            vq, vs = quantize_symmetric(v, axis=(3,), keepdims=True)
+            upd = lambda buf, new: jax.lax.dynamic_update_slice(
+                buf, new.astype(buf.dtype), (0, 0, cache_index, 0))
+            new_kv = QuantLayerKV(upd(kv.k, kq), upd(kv.k_scale, ks),
+                                  upd(kv.v, vq), upd(kv.v_scale, vs))
+            deq = lambda q_, s_: (q_[:, :, :attn_len].astype(x.dtype)
+                                  * s_[:, :, :attn_len].astype(x.dtype))
+            kk = deq(new_kv.k, new_kv.k_scale)
+            vv = deq(new_kv.v, new_kv.v_scale)
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                kv.k, k.astype(kv.k.dtype), (0, 0, cache_index, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                kv.v, v.astype(kv.v.dtype), (0, 0, cache_index, 0))
+            new_kv = LayerKV(k_cache, v_cache)
+
+            kk = k_cache[:, :, :attn_len]
+            vv = v_cache[:, :, :attn_len]
         rep = cfg.num_heads // cfg.num_kv_heads
         if rep > 1:
             kk = jnp.repeat(kk, rep, axis=1)
@@ -189,6 +226,9 @@ class LlamaForCausalLM(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    # int8 KV cache (QuantLayerKV): halves the batch-linear KV read of
+    # greedy decode; greedy_generate sizes the cache accordingly
+    kv_quant: bool = False
 
     def setup(self):
         cfg = self.config
@@ -258,7 +298,8 @@ def greedy_generate(model: LlamaForCausalLM, params, prompt,
     else:
         b, prompt_len = prompt.shape
     max_len = prompt_len + max_new_tokens
-    cache = init_cache(cfg, b, max_len, dtype=model.dtype)
+    cache = init_cache(cfg, b, max_len, dtype=model.dtype,
+                       kv_quant=model.kv_quant)
 
     if prompt_embeds is not None:
         logits, cache = model.apply(params, cache=cache, cache_index=0,

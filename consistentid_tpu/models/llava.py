@@ -91,7 +91,8 @@ def preprocess_image(image, image_size: int) -> np.ndarray:
 
 def make_caption_fn(config: LlavaConfig, max_new_tokens: int,
                     eos_token_id: int, pad_token_id: int = 0,
-                    dtype=jnp.float32, quant: bool = False):
+                    dtype=jnp.float32, quant: bool = False,
+                    kv_quant: bool = False):
     """One jitted prefill+decode: (params, pixel_values, pre_ids, post_ids)
     -> (B, max_new_tokens) ids. Recompiles per (pre, post) length pair —
     the FGID protocol uses exactly two fixed prompts, so two compilations
@@ -101,7 +102,8 @@ def make_caption_fn(config: LlavaConfig, max_new_tokens: int,
     (models/llama.quantize_llama_params); the vision tower and projector
     stay float (one prefill-time cost, not per decoded token)."""
     llava = LlavaModel(config, dtype=dtype)
-    llama = LlamaForCausalLM(config.text, dtype=dtype, quant=quant)
+    llama = LlamaForCausalLM(config.text, dtype=dtype, quant=quant,
+                             kv_quant=kv_quant)
 
     def fn(params, pixel_values, pre_ids, post_ids):
         feats = llava.apply({"params": params["mm"]}, pixel_values)

@@ -124,3 +124,57 @@ def test_unknown_quant_mode_rejected(float_params):
 
     with pytest.raises(ValueError):
         LlavaCaptioner({"llama": float_params}, object(), quant="int4")
+
+
+def test_kv_quant_prefill_tracks_float_cache(float_params):
+    """int8 KV cache (QuantLayerKV): prefill logits flow through the
+    quantized cache (write int8 -> dequant read), so they must track the
+    float-cache model closely; per-(batch,head,position) scales keep the
+    error at int8-rounding level."""
+    from consistentid_tpu.models.llama import QuantLayerKV, init_cache
+
+    ids = jax.random.randint(jax.random.PRNGKey(5), (2, 9), 3,
+                             TINY.vocab_size)
+    cache_f = init_cache(TINY, 2, 9)
+    cache_q = init_cache(TINY, 2, 9, kv_quant=True)
+    assert isinstance(cache_q[0], QuantLayerKV)
+    assert cache_q[0].k.dtype == jnp.int8
+
+    want, _ = LlamaForCausalLM(TINY).apply(
+        {"params": float_params}, ids, cache=cache_f, attn_len=9)
+    got, new_cache = LlamaForCausalLM(TINY, kv_quant=True).apply(
+        {"params": float_params}, ids, cache=cache_q, attn_len=9)
+    want = np.asarray(want, np.float32).reshape(-1, TINY.vocab_size)
+    got = np.asarray(got, np.float32).reshape(-1, TINY.vocab_size)
+    cos = np.sum(want * got, -1) / (
+        np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1))
+    assert cos.min() > 0.995, cos.min()
+    # written slots are quantized, untouched slots stay zero
+    assert np.abs(np.asarray(new_cache[0].k, np.int32)).max() > 0
+
+
+def test_kv_quant_greedy_batched_equals_sequential(float_params):
+    """Per-row KV scales -> batching never changes a row's decode."""
+    model = LlamaForCausalLM(TINY, kv_quant=True)
+    prompts = jax.random.randint(jax.random.PRNGKey(6), (3, 7), 3,
+                                 TINY.vocab_size)
+    batched = greedy_generate(model, {"params": float_params}, prompts,
+                              max_new_tokens=6, eos_token_id=2)
+    for i in range(prompts.shape[0]):
+        single = greedy_generate(model, {"params": float_params},
+                                 prompts[i:i + 1], max_new_tokens=6,
+                                 eos_token_id=2)
+        np.testing.assert_array_equal(np.asarray(batched[i]),
+                                      np.asarray(single[0]))
+
+
+def test_kv_quant_composes_with_int8_weights(int8_params):
+    """W8A8 weights + int8 KV together (the max-batch captioning config)."""
+    model = LlamaForCausalLM(TINY, quant=True, kv_quant=True)
+    prompts = jax.random.randint(jax.random.PRNGKey(7), (2, 5), 3,
+                                 TINY.vocab_size)
+    out = greedy_generate(model, {"params": int8_params}, prompts,
+                          max_new_tokens=5, eos_token_id=2)
+    arr = np.asarray(out)
+    assert arr.shape == (2, 5)
+    assert (arr >= 0).all() and (arr < TINY.vocab_size).all()
