@@ -56,9 +56,18 @@ def build_parser():
                         "every N-th denoise step, only the shallow blocks "
                         "in between (1 = off; 2-3 = 30-50%% faster with a "
                         "small quality trade)")
-    p.add_argument("--quant", choices=["none", "int8"], default="none",
+    p.add_argument("--quant", choices=["none", "int8", "int8_static"],
+                   default="none",
                    help="int8: W8A8 UNet on the int8 MXU (2x bf16 peak on "
-                        "v5e) — same checkpoints, kernels quantized in-graph")
+                        "v5e) — same checkpoints, kernels quantized "
+                        "in-graph, activations quantized dynamically per "
+                        "call. int8_static: the quantized mode of record — "
+                        "calibrates per-tensor activation scales on YOUR "
+                        "prompt+image first (pipeline.calibrate_int8, a "
+                        "few seconds), then serves without the dynamic "
+                        "activation-amax prologue (measured r4: +13%% "
+                        "SD1.5 512px, +16.6%% SDXL 1024px vs exact, where "
+                        "dynamic int8 LOSES 35%% on SDXL)")
     p.add_argument("--sdxl", action="store_true",
                    help="SDXL base (reference infer_SDXL.py defaults: "
                         "864x1152, CFG 7.5)")
@@ -92,6 +101,9 @@ def main(argv=None):
     if args.init_image and args.cache_interval != 1:
         parser.error("--cache-interval applies to the t2i path only; the "
                      "img2img/inpaint pipelines run the exact UNet")
+    if args.init_image and args.quant == "int8_static":
+        parser.error("--quant int8_static calibrates/serves the t2i path "
+                     "only; use --quant int8 (dynamic) with --init-image")
 
     from PIL import Image
 
@@ -115,18 +127,22 @@ def main(argv=None):
         guidance_scale=args.guidance_scale,
         start_merge_step=args.start_merge_step,
         scheduler=args.scheduler)
+    # int8_static needs calibrated activation scales: load the exact
+    # pipeline first, calibrate on the user's prompt+image below, and only
+    # then switch the bundle to the static-int8 serving graph.
+    load_quant = "none" if args.quant == "int8_static" else args.quant
     kw = dict(consistentid_path=args.consistentid,
               image_encoder_path=args.image_encoder,
               bisenet_path=args.bisenet, arcface_path=args.arcface,
               scrfd_path=args.scrfd,
               tokenizer=tokenizer, pipeline_config=config,
-              quant=args.quant)
+              quant=load_quant)
     if args.tiny:
         import dataclasses
 
         from ..testing import tiny_bundle, tiny_sdxl_bundle
         bundle = tiny_sdxl_bundle() if args.sdxl else tiny_bundle()
-        kw["bundle"] = dataclasses.replace(bundle, quant=args.quant)
+        kw["bundle"] = dataclasses.replace(bundle, quant=load_quant)
     if args.no_safety_checker and not args.sdxl:
         kw["with_safety_checker"] = False
     if args.sdxl:
@@ -142,6 +158,9 @@ def main(argv=None):
         pipe = load_sd15_consistentid(args.base, **kw)
 
     face = Image.open(args.image)
+    if args.quant == "int8_static":
+        pipe = pipe.calibrate_int8(args.prompt, face,
+                                   negative_prompt=args.negative_prompt)
     gen_kw = dict(negative_prompt=args.negative_prompt, seed=args.seed,
                   ip_scale=args.ip_scale, lora_scale=args.lora_scale)
     if args.init_image:

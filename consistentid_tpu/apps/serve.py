@@ -302,7 +302,18 @@ def main(argv=None):
                         "with --dp: dp*tp devices total. Latency lever for "
                         "big shapes (SDXL 1024px); --dp is the throughput "
                         "lever")
+    p.add_argument("--calib-image", default=None,
+                   help="--quant int8_static: representative identity "
+                        "image for startup activation-scale calibration "
+                        "(pipeline.calibrate_int8); required for "
+                        "int8_static serving")
+    p.add_argument("--calib-prompt",
+                   default="a photo of a person, portrait, high quality",
+                   help="--quant int8_static: calibration prompt")
     args, _ = p.parse_known_args(argv)
+    if args.quant == "int8_static" and not args.calib_image:
+        p.error("--quant int8_static requires --calib-image (activation "
+                "scales are calibrated at startup)")
 
     from ..core.cache import enable_compilation_cache
     from ..core.config import PipelineConfig
@@ -322,16 +333,21 @@ def main(argv=None):
             devs = jax.devices()[: args.dp * args.tp]
         if len(devs) > 1:
             mesh = make_mesh(devs, model=args.tp)
+    load_quant = "none" if args.quant == "int8_static" else args.quant
     pipe = load_sd15_consistentid(
         args.base, consistentid_path=args.consistentid,
         image_encoder_path=args.image_encoder, bisenet_path=args.bisenet,
-        arcface_path=args.arcface, quant=args.quant, mesh=mesh,
+        arcface_path=args.arcface, quant=load_quant, mesh=mesh,
         pipeline_config=PipelineConfig(
             height=args.height, width=args.width,
             num_inference_steps=args.steps,
             guidance_scale=args.guidance_scale,
             start_merge_step=args.start_merge_step,
             cache_interval=args.cache_interval))
+    if args.quant == "int8_static":
+        print(f"calibrating int8 activation scales on {args.calib_image}")
+        pipe = pipe.calibrate_int8(args.calib_prompt,
+                                   Image.open(args.calib_image))
     server, batcher = serve(pipe, args.port, args.max_batch, args.window_ms,
                             host=args.host, max_body=args.max_body,
                             max_image_px=args.max_image_px)

@@ -136,11 +136,15 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        k_scale_t = v_scale_t = None
         if isinstance(kv, QuantLayerKV):
             # int8 KV: quantize the new keys/values per (batch, head,
-            # position) on write, dequantize on read — the attention math
-            # itself stays in the compute dtype; only the cache bytes (the
-            # batch-linear HBM read) halve.
+            # position) on write; on read the dots consume the int8 cache
+            # DIRECTLY (the int8->bf16 convert fuses into the matmul
+            # operand, so HBM reads stay int8) and the per-position scales
+            # fold into the (B,H,q,L) logits / probs instead — exact, and
+            # it avoids materializing a dequantized bf16 copy of the cache
+            # (which would double, not halve, the KV bytes).
             from ..ops.quant import quantize_symmetric
 
             kq, ks = quantize_symmetric(k, axis=(3,), keepdims=True)
@@ -149,10 +153,11 @@ class LlamaAttention(nn.Module):
                 buf, new.astype(buf.dtype), (0, 0, cache_index, 0))
             new_kv = QuantLayerKV(upd(kv.k, kq), upd(kv.k_scale, ks),
                                   upd(kv.v, vq), upd(kv.v_scale, vs))
-            deq = lambda q_, s_: (q_[:, :, :attn_len].astype(x.dtype)
-                                  * s_[:, :, :attn_len].astype(x.dtype))
-            kk = deq(new_kv.k, new_kv.k_scale)
-            vv = deq(new_kv.v, new_kv.v_scale)
+            kk = new_kv.k[:, :, :attn_len]
+            vv = new_kv.v[:, :, :attn_len]
+            # (B, kv_heads, 1, attn_len) fp32, broadcast over query pos
+            k_scale_t = new_kv.k_scale[:, :, :attn_len, 0][:, :, None, :]
+            v_scale_t = new_kv.v_scale[:, :, :attn_len, 0][:, :, None, :]
         else:
             k_cache = jax.lax.dynamic_update_slice(
                 kv.k, k.astype(kv.k.dtype), (0, 0, cache_index, 0))
@@ -166,15 +171,22 @@ class LlamaAttention(nn.Module):
         if rep > 1:
             kk = jnp.repeat(kk, rep, axis=1)
             vv = jnp.repeat(vv, rep, axis=1)
+            if k_scale_t is not None:
+                k_scale_t = jnp.repeat(k_scale_t, rep, axis=1)
+                v_scale_t = jnp.repeat(v_scale_t, rep, axis=1)
 
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, kk.astype(q.dtype),
                             preferred_element_type=jnp.float32) * (d ** -0.5)
+        if k_scale_t is not None:
+            logits = logits * k_scale_t
         # causal over absolute positions: query i sits at cache_index + i
         q_pos = cache_index + jnp.arange(s)[:, None]
         k_pos = jnp.arange(attn_len)[None, :]
         logits = jnp.where(k_pos <= q_pos, logits, -1e30)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(vv.dtype),
+        if v_scale_t is not None:
+            probs = probs * v_scale_t
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype),
                          vv.astype(q.dtype),
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * d)

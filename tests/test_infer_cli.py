@@ -104,6 +104,22 @@ def test_infer_cli_img2img_and_inpaint(synth_dir, face_path, tmp_path):
     assert img2.shape == (64, 64, 3) and int(img2.max()) != int(img2.min())
 
 
+def test_infer_cli_int8_static(synth_dir, face_path, tmp_path):
+    """--quant int8_static calibrates on the CLI's own prompt+image and
+    serves the static-int8 graph (the r4 quantized mode of record)."""
+    out = str(tmp_path / "static.png")
+    _run(synth_dir, face_path, out, ["--quant", "int8_static"])
+    img = np.asarray(Image.open(out))
+    assert img.shape == (64, 64, 3) and int(img.max()) != int(img.min())
+
+
+def test_infer_cli_int8_static_rejects_img2img(synth_dir, face_path,
+                                               tmp_path):
+    with pytest.raises(SystemExit):
+        _run(synth_dir, face_path, str(tmp_path / "z.png"),
+             ["--init-image", face_path, "--quant", "int8_static"])
+
+
 def test_infer_cli_rejects_bad_img2img_combos(synth_dir, face_path, tmp_path):
     with pytest.raises(SystemExit):
         _run(synth_dir, face_path, str(tmp_path / "x.png"),

@@ -290,3 +290,44 @@ def test_mesh_serving_dp():
     # sharded vs unsharded may differ by XLA fusion rounding; allow 1 LSB
     got = np.stack([r.result for r in reqs]).astype(np.int16)
     assert np.abs(got - ref.astype(np.int16)).max() <= 1
+
+
+def test_int8_static_serving():
+    """A calibrated int8_static pipeline behind the MicroBatcher (the
+    `serve --quant int8_static --calib-image ...` path): calibration at
+    startup, static-int8 generate per request, sane output."""
+    from consistentid_tpu.apps.serve import MicroBatcher, _Pending
+
+    bundle = tiny_bundle()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    _, labels = synthetic_face_inputs()
+    pipe = ConsistentIDPipeline(
+        bundle, params, SimpleTokenizer(),
+        pipeline_config=PipelineConfig(height=32, width=32,
+                                       num_inference_steps=2,
+                                       start_merge_step=1),
+        face_parser=lambda img: labels,
+        face_embedder=lambda img: np.zeros((1, 16), np.float32))
+    face, _ = synthetic_face_inputs()
+    static = pipe.calibrate_int8("a person, portrait", face,
+                                 num_calib_steps=2)
+    assert static.bundle.quant == "int8_static"
+
+    batcher = MicroBatcher(static, max_batch=2, window_ms=50.0)
+    try:
+        req = batcher.submit(_Pending(prompt="a man with a face",
+                                      image=face, negative="", seed=3))
+        assert req.event.wait(timeout=600)
+        assert req.error is None, req.error
+        assert req.result.shape == (32, 32, 3)
+        assert int(req.result.max()) != int(req.result.min())
+    finally:
+        batcher.stop()
+
+
+def test_serve_cli_int8_static_requires_calib_image():
+    from consistentid_tpu.apps import serve as serve_app
+
+    with pytest.raises(SystemExit):
+        serve_app.main(["--base", "/nonexistent", "--image", "x",
+                        "--prompt", "y", "--quant", "int8_static"])
