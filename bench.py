@@ -108,11 +108,21 @@ def main():
                         "activation scales (pipeline.calibrate_int8, run "
                         "on the bench inputs before timing); also applies "
                         "to --caption (Llama decoder weight-read halving)")
+    p.add_argument("--act-scales", default=None,
+                   help="--quant int8_static: load calibrated activation "
+                        "scales from this .npz (io.quant_scales) instead "
+                        "of calibrating on the bench input")
     p.add_argument("--cache-interval", type=int, default=1,
                    help="DeepCache-style deep-feature reuse cadence for the "
                         "pipeline benches (1 = off). N>1 runs the full UNet "
                         "every N-th denoise step and only the shallow "
                         "level-0 blocks in between (small quality trade)")
+    p.add_argument("--mu-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="--train: AdamW first-moment storage dtype — "
+                        "bfloat16 halves one of the two per-param "
+                        "optimizer-moment HBM streams (A/B lever for the "
+                        "r3 roofline's moment-bandwidth item)")
     p.add_argument("--fused-gn", action="store_true",
                    help="--train: serve the UNet GroupNorms with the "
                         "restructured fused GN+SiLU (ops/group_norm.py) — "
@@ -127,6 +137,11 @@ def main():
                         "one-dispatch-per-step shape")
     args = p.parse_args()
 
+    if args.train:
+        if args.batch is None:
+            args.batch = 2  # reference per-GPU batch (train_bash.sh:8,
+            #                 train_SDXL.sh:14 — both train at 2/GPU)
+        return bench_train(args)
     if args.sdxl:
         return bench_sdxl(args)
     if args.caption:
@@ -135,10 +150,6 @@ def main():
         return bench_input(args)
     if args.fgid_mask:
         return bench_fgid_mask(args)
-    if args.train:
-        if args.batch is None:
-            args.batch = 2  # reference per-GPU batch (train_bash.sh:8)
-        return bench_train(args)
     if args.batch is None:
         args.batch = 4  # serving default
 
@@ -215,10 +226,15 @@ def main():
               num_images_per_prompt=args.batch,
               cache_interval=args.cache_interval)
     if args.quant == "int8_static":
-        pipe = pipe.calibrate_int8(
-            "portrait photo of a man with a strong face, "
-            "blue eyes, a sharp nose and a wide mouth",
-            face, parsing_labels=labels, faceid_embeds=faceid)
+        if args.act_scales:
+            from consistentid_tpu.io.quant_scales import load_act_scales
+            pipe = pipe.with_quant(
+                "int8_static", act_scales=load_act_scales(args.act_scales))
+        else:
+            pipe = pipe.calibrate_int8(
+                "portrait photo of a man with a strong face, "
+                "blue eyes, a sharp nose and a wide mouth",
+                face, parsing_labels=labels, faceid_embeds=faceid)
     # warmup / compile
     img = pipe.generate("portrait photo of a man with a strong face, "
                         "blue eyes, a sharp nose and a wide mouth",
@@ -304,23 +320,52 @@ def bench_train(args):
                                            warm_start_ip_projections)
 
     batch_size = args.batch  # resolved in main(): explicit value or 2
-    bundle = SD15Bundle(
-        unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
-        adapter_config=AdapterConfig(),
-        dtype=jnp.bfloat16, remat=args.remat != "none",
-        remat_policy="dots" if args.remat == "dots" else "full",
-        fused_gn=args.fused_gn)
+    loss_kw = {}
+    if args.sdxl:
+        # SDXL adapter training (reference train_SDXL.sh:8-14: bf16,
+        # batch 2/GPU, 1024px, localization_layers=3)
+        from consistentid_tpu.core.config import (VAEConfig,
+                                                  sdxl_unet_config)
+        from consistentid_tpu.pipelines import (SDXLBundle,
+                                                sdxl_adapter_config)
+        from consistentid_tpu.training import sdxl_consistentid_loss
+        height = args.height if args.height != 512 else 1024
+        bundle = SDXLBundle(
+            unet_config=sdxl_unet_config(lora_rank=128, ip_num_tokens=4),
+            adapter_config=sdxl_adapter_config(),
+            vae_config=VAEConfig(scaling_factor=0.13025, force_upcast=True),
+            dtype=jnp.bfloat16, remat=args.remat != "none",
+            remat_policy="dots" if args.remat == "dots" else "full",
+            fused_gn=args.fused_gn)
+        loss_kw["loss_fn_impl"] = sdxl_consistentid_loss
+        config = TrainConfig(mu_dtype=args.mu_dtype, localization_layers=3,
+                             remat_unet=args.remat != "none")
+    else:
+        height = args.height
+        bundle = SD15Bundle(
+            unet_config=sd15_unet_config(lora_rank=128, ip_num_tokens=4),
+            adapter_config=AdapterConfig(),
+            dtype=jnp.bfloat16, remat=args.remat != "none",
+            remat_policy="dots" if args.remat == "dots" else "full",
+            fused_gn=args.fused_gn)
+        config = TrainConfig(mu_dtype=args.mu_dtype)
     params = bundle.fast_random_params(jax.random.PRNGKey(0))
     params["unet"] = warm_start_ip_projections(params["unet"])
 
-    config = TrainConfig()
     schedule = NoiseSchedule.create(SchedulerConfig())
     state = create_train_state(params, config)
     step = make_train_step(bundle, schedule, config, mesh=None,
-                           donate=True)
-    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
-        batch_size=batch_size, size=args.height, clip_size=224,
+                           donate=True, **loss_kw)
+    batch = {k: np.asarray(v) for k, v in synthetic_batch(
+        batch_size=batch_size, size=height, clip_size=224,
         id_dim=512).items()}
+    if args.sdxl:
+        batch["clean_ids2"] = batch["clean_ids"].copy()
+        # original_size + crop + target_size micro-conditioning
+        batch["time_ids"] = np.tile(
+            np.array([[height, height, 0, 0, height, height]], np.float32),
+            (batch_size, 1))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     rng = jax.random.PRNGKey(1)
     spc = max(1, args.steps_per_call)
@@ -328,7 +373,7 @@ def bench_train(args):
         from consistentid_tpu.training import make_multi_train_step
 
         multi = make_multi_train_step(bundle, schedule, config, n_steps=spc,
-                                      mesh=None, donate=True)
+                                      mesh=None, donate=True, **loss_kw)
         stacked = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (spc, *x.shape)), batch)
 
@@ -353,10 +398,13 @@ def bench_train(args):
     assert np.isfinite(final_loss)
 
     rec = {
-        "metric": f"SD1.5 {args.height}px adapter train step "
+        "metric": f"{'SDXL' if args.sdxl else 'SD1.5'} {height}px adapter "
+                  f"train step "
                   f"(batch {batch_size}/chip, remat={args.remat}, "
                   f"{spc} steps/dispatch"
-                  + (", fused-gn" if args.fused_gn else "") + ")",
+                  + (", fused-gn" if args.fused_gn else "")
+                  + (", mu-bf16" if args.mu_dtype == "bfloat16" else "")
+                  + ")",
         "value": round(dt, 4),
         "unit": "s/step",
         "vs_baseline": round(0.5 / max(dt, 1e-9), 3),  # 0.5 s/step heuristic
@@ -446,23 +494,32 @@ def bench_caption(args):
         lambda k: random_llava_params(k, cfg, dtype=jnp.bfloat16,
                                       quant=quant),
         jax.random.PRNGKey(0))
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    # flax init leaves all float params fp32 (no param_dtype override in
+    # models/llama.py), so dtype alone can't tell kernel_scale leaves from
+    # ordinary weights — distinguish by path and store everything that
+    # isn't an int8 kernel or a quant scale as bf16, matching what the
+    # weight-read-bound decode actually streams in a bf16 serving config.
+    path_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    is_scale = [path and getattr(path[-1], "key", None) == "kernel_scale"
+                for path, _ in path_leaves]
+    leaves = [s for _, s in path_leaves]
 
     @jax.jit
     def make_params(key):
         ks = jax.random.split(key, len(leaves))
 
-        def fill(k, s):
+        def fill(k, s, scale_leaf):
             if s.dtype == jnp.int8:
                 return jax.random.randint(k, s.shape, -127, 128,
                                           dtype=jnp.int8)
-            if s.dtype == jnp.float32:  # kernel_scale leaves
+            if scale_leaf:  # per-channel quant scales stay fp32
                 return jnp.abs(jax.random.normal(k, s.shape,
                                                  jnp.float32)) * 1e-3 + 1e-4
-            return jax.random.normal(k, s.shape, s.dtype) * 0.02
+            return jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
 
         return jax.tree_util.tree_unflatten(
-            treedef, [fill(k, s) for k, s in zip(ks, leaves)])
+            treedef,
+            [fill(k, s, sc) for k, s, sc in zip(ks, leaves, is_scale)])
 
     params = jax.block_until_ready(make_params(jax.random.PRNGKey(1)))
     n_params = sum(int(np.prod(s.shape)) for s in leaves)
@@ -580,6 +637,35 @@ def bench_input(args):
         ds = FGIDDataset(mpath, SimpleTokenizer(), size=512, clip_size=224,
                          image_root=tmp)
         _ = ds[0]  # warm imports/caches
+
+        # GIL-release guardrail (VERDICT r4 next #8): a monitor thread
+        # wakes every 1 ms; while a sample loads, its max inter-wakeup gap
+        # bounds the longest GIL-held section inside the load. Decode /
+        # resize / numpy all release the GIL (gaps stay ~ms); a regression
+        # to a GIL-holding stage shows up as a gap the length of that
+        # stage. Works on a 1-core host (unlike wall-clock thread-scaling
+        # ratios, which degrade to 2x there for BOTH cases).
+        import threading
+        stall = {"max_gap": 0.0}
+        stop = threading.Event()
+
+        def monitor():
+            last = time.perf_counter()
+            while not stop.is_set():
+                time.sleep(0.001)
+                now = time.perf_counter()
+                stall["max_gap"] = max(stall["max_gap"], now - last)
+                last = now
+
+        mon = threading.Thread(target=monitor, daemon=True)
+        mon.start()
+        time.sleep(0.05)  # settle; baseline gaps are scheduler noise
+        for i in range(4):
+            _ = ds[i % n]
+        stop.set()
+        mon.join()
+        gil_max_stall_ms = stall["max_gap"] * 1e3
+
         t0 = time.perf_counter()
         seen = 0
         for b in ds.batches(batch, shuffle=False, epochs=1,
@@ -591,6 +677,10 @@ def bench_input(args):
 
     ex_s = seen / dt
     train_ex_s = 13.97  # measured batch-8 v5e step (ROUND_NOTES r3)
+    # threshold: decode+resize of one 512px JPEG holds the GIL only for
+    # its Python glue (~ms); 150 ms means some stage turned GIL-bound
+    gil_ok = gil_max_stall_ms < 150.0
+    ex_s_per_core = ex_s / max(1, min(workers, os.cpu_count() or 1))
     rec = {
         "metric": f"FGID training input pipeline (512px + 5 region crops, "
                   f"batch {batch}, workers {workers})",
@@ -600,8 +690,18 @@ def bench_input(args):
         "n_examples": seen,
         "host_cores": os.cpu_count(),
         "train_step_ex_s": train_ex_s,
+        "ex_s_per_core": round(ex_s_per_core, 3),
+        "cores_to_parity": int(np.ceil(train_ex_s / max(ex_s_per_core,
+                                                        1e-9))),
+        "gil_max_stall_ms": round(gil_max_stall_ms, 1),
+        "gil_ok": gil_ok,
     }
     print(json.dumps(rec))
+    if not gil_ok:
+        raise SystemExit(
+            f"input pipeline GIL guardrail: max stall "
+            f"{gil_max_stall_ms:.0f} ms >= 150 ms — a load stage stopped "
+            "releasing the GIL; thread workers will no longer scale")
 
 
 def bench_fgid_mask(args):
@@ -716,9 +816,14 @@ def bench_sdxl(args):
               num_images_per_prompt=args.batch)
     prompt = "portrait photo of a man with a strong face"
     if args.quant == "int8_static":
-        pipe = pipe.calibrate_int8(
-            prompt, face, parsing_labels=labels,
-            faceid_embeds=np.zeros((1, 512), np.float32))
+        if args.act_scales:
+            from consistentid_tpu.io.quant_scales import load_act_scales
+            pipe = pipe.with_quant(
+                "int8_static", act_scales=load_act_scales(args.act_scales))
+        else:
+            pipe = pipe.calibrate_int8(
+                prompt, face, parsing_labels=labels,
+                faceid_embeds=np.zeros((1, 512), np.float32))
 
     # -- whole-pipeline throughput, double-buffered at args.steps --
     out = pipe.generate(prompt, face, seed=0, **kw)  # compile

@@ -68,6 +68,14 @@ def build_parser():
                         "activation-amax prologue (measured r4: +13%% "
                         "SD1.5 512px, +16.6%% SDXL 1024px vs exact, where "
                         "dynamic int8 LOSES 35%% on SDXL)")
+    p.add_argument("--act-scales", default=None,
+                   help="int8_static: load calibrated activation scales "
+                        "from this .npz artifact (save_act_scales) instead "
+                        "of calibrating at startup")
+    p.add_argument("--save-act-scales", default=None,
+                   help="int8_static: after startup calibration, persist "
+                        "the activation scales to this .npz so later "
+                        "processes can skip calibration (--act-scales)")
     p.add_argument("--sdxl", action="store_true",
                    help="SDXL base (reference infer_SDXL.py defaults: "
                         "864x1152, CFG 7.5)")
@@ -159,8 +167,22 @@ def main(argv=None):
 
     face = Image.open(args.image)
     if args.quant == "int8_static":
-        pipe = pipe.calibrate_int8(args.prompt, face,
-                                   negative_prompt=args.negative_prompt)
+        if args.act_scales:
+            from ..io.quant_scales import load_act_scales
+            pipe = pipe.with_quant("int8_static",
+                                   act_scales=load_act_scales(args.act_scales))
+        else:
+            # calibrate at the serving lora_scale: folding at a different
+            # scale than generation shifts activation ranges against the
+            # calibrated clip points
+            pipe = pipe.calibrate_int8(args.prompt, face,
+                                       negative_prompt=args.negative_prompt,
+                                       lora_scale=args.lora_scale)
+            if args.save_act_scales:
+                from ..io.quant_scales import save_act_scales
+                save_act_scales(args.save_act_scales,
+                                pipe.bundle.act_scales)
+                print(f"saved act scales -> {args.save_act_scales}")
     gen_kw = dict(negative_prompt=args.negative_prompt, seed=args.seed,
                   ip_scale=args.ip_scale, lora_scale=args.lora_scale)
     if args.init_image:

@@ -302,18 +302,32 @@ def main(argv=None):
                         "with --dp: dp*tp devices total. Latency lever for "
                         "big shapes (SDXL 1024px); --dp is the throughput "
                         "lever")
-    p.add_argument("--calib-image", default=None,
+    p.add_argument("--calib-image", action="append", default=None,
                    help="--quant int8_static: representative identity "
                         "image for startup activation-scale calibration "
-                        "(pipeline.calibrate_int8); required for "
-                        "int8_static serving")
+                        "(pipeline.calibrate_int8). Repeatable — scales "
+                        "are max-merged over all given images (multi-"
+                        "sample calibration is robust to per-image "
+                        "activation outliers). Required for int8_static "
+                        "unless --act-scales is given")
     p.add_argument("--calib-prompt",
                    default="a photo of a person, portrait, high quality",
                    help="--quant int8_static: calibration prompt")
+    p.add_argument("--act-scales", default=None,
+                   help="--quant int8_static: load calibrated activation "
+                        "scales from this .npz artifact instead of "
+                        "calibrating at startup (io.quant_scales)")
+    p.add_argument("--save-act-scales", default=None,
+                   help="--quant int8_static: after startup calibration, "
+                        "persist the scales to this .npz so restarts / "
+                        "other replicas serve via --act-scales without "
+                        "re-calibrating")
     args, _ = p.parse_known_args(argv)
-    if args.quant == "int8_static" and not args.calib_image:
+    if (args.quant == "int8_static" and not args.calib_image
+            and not args.act_scales):
         p.error("--quant int8_static requires --calib-image (activation "
-                "scales are calibrated at startup)")
+                "scales are calibrated at startup) or --act-scales (a "
+                "saved calibration artifact)")
 
     from ..core.cache import enable_compilation_cache
     from ..core.config import PipelineConfig
@@ -345,9 +359,22 @@ def main(argv=None):
             start_merge_step=args.start_merge_step,
             cache_interval=args.cache_interval))
     if args.quant == "int8_static":
-        print(f"calibrating int8 activation scales on {args.calib_image}")
-        pipe = pipe.calibrate_int8(args.calib_prompt,
-                                   Image.open(args.calib_image))
+        if args.act_scales:
+            from ..io.quant_scales import load_act_scales
+            print(f"loading int8 activation scales from {args.act_scales}")
+            pipe = pipe.with_quant("int8_static",
+                                   act_scales=load_act_scales(args.act_scales))
+        else:
+            print("calibrating int8 activation scales on "
+                  f"{', '.join(args.calib_image)}")
+            pipe = pipe.calibrate_int8(samples=[
+                (args.calib_prompt, Image.open(im))
+                for im in args.calib_image])
+            if args.save_act_scales:
+                from ..io.quant_scales import save_act_scales
+                save_act_scales(args.save_act_scales,
+                                pipe.bundle.act_scales)
+                print(f"saved act scales -> {args.save_act_scales}")
     server, batcher = serve(pipe, args.port, args.max_batch, args.window_ms,
                             host=args.host, max_body=args.max_body,
                             max_image_px=args.max_image_px)

@@ -40,6 +40,11 @@ def build_parser():
     p.add_argument("--save-steps", type=int, default=1000)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mu-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="AdamW first-moment storage dtype (bfloat16 halves "
+                        "that optimizer-moment HBM stream; second moments "
+                        "stay fp32)")
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--remat", choices=["full", "dots", "none"],
                    default="none",
@@ -98,7 +103,8 @@ def main(argv=None):
         resolution=args.resolution, max_steps=args.max_steps,
         save_steps=args.save_steps, seed=args.seed,
         remat_unet=args.remat != "none",
-        remat_policy="dots" if args.remat == "dots" else "full")
+        remat_policy="dots" if args.remat == "dots" else "full",
+        mu_dtype=args.mu_dtype)
 
     if args.tiny:
         import dataclasses as _dc

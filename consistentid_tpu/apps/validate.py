@@ -263,7 +263,11 @@ def synthesize(outdir: str) -> Dict[str, str]:
 
 SERVING_MODES = (("exact", "none", 1), ("int8", "int8", 1),
                  ("int8_static", "int8_static", 1),
-                 ("cache2", "none", 2), ("cache3", "none", 3))
+                 ("cache2", "none", 2), ("cache3", "none", 3),
+                 # composed accelerators (VERDICT r4 weak #6): the
+                 # production candidates — calibrated int8 × DeepCache
+                 ("int8_static_cache2", "int8_static", 2),
+                 ("int8_static_cache3", "int8_static", 3))
 
 
 def run_mode_sweep(pipe, face, n_rows: int, clip_projections=None) -> Dict:
@@ -297,10 +301,13 @@ def run_mode_sweep(pipe, face, n_rows: int, clip_projections=None) -> Dict:
             text_projection=proj["text_projection.weight"].T,
             visual_projection=proj["visual_projection.weight"].T)
 
+    static = pipe.calibrate_int8(rows[0].prompt, face, num_calib_steps=4)
     by_mode = {"exact": pipe, "int8": pipe.with_quant("int8"),
-               "int8_static": pipe.calibrate_int8(rows[0].prompt, face,
-                                                  num_calib_steps=4),
-               "cache2": pipe, "cache3": pipe}
+               "int8_static": static,
+               "cache2": pipe, "cache3": pipe,
+               # composed modes reuse the calibrated bundle; only the
+               # cache_interval kwarg differs (same compiled-graph family)
+               "int8_static_cache2": static, "int8_static_cache3": static}
 
     out: Dict = {}
     batch = max(1, min(4, n_rows))

@@ -342,8 +342,12 @@ def make_captioner(command: Optional[str] = None,
     if llava_dir:
         mesh = None
         if tp > 1:
+            import jax
             from ..parallel import make_mesh
-            mesh = make_mesh(data=1, model=tp)
+            # slice explicitly: make_mesh over all devices asserts
+            # data*model == n_devices, which would crash --tp N on any
+            # host with more than N chips (serve.py does the same slice)
+            mesh = make_mesh(jax.devices()[:tp], data=1, model=tp)
         return LlavaCaptioner.from_pretrained(llava_dir, quant=quant,
                                               kv_quant=kv_quant, mesh=mesh)
     if command:

@@ -287,3 +287,8 @@ class TrainConfig:
     # 0.779 remat-full) while ~3% slower at batch 2 (round-2 note).
     remat_unet: bool = False
     remat_policy: str = "full"  # "full" | "dots"
+    # AdamW first-moment storage dtype ("float32" | "bfloat16"): bf16 mu
+    # halves one of the two per-param optimizer-moment streams the step
+    # reads+writes (r3 roofline bandwidth item). Second moments stay fp32
+    # (sqrt of tiny values loses too much in bf16's 8 mantissa bits).
+    mu_dtype: str = "float32"

@@ -72,6 +72,7 @@ class UNet(nn.Module):
         lora_scale: float = 1.0,
         ip_scale: float = 1.0,
         capture_layers: Tuple[str, ...] = (),
+        capture_cols: Optional[jax.Array] = None,  # (B, N) facial-token idx
         down_block_residuals: Optional[Tuple[jax.Array, ...]] = None,
         mid_residual: Optional[jax.Array] = None,
         deep_feature: Optional[jax.Array] = None,
@@ -165,8 +166,13 @@ class UNet(nn.Module):
 
         def run_transformer(tf, h, block_name):
             # positional so nn.remat's static_argnums covers the scales+flag
-            return tf(h, ctx, lora_scale, ip_scale,
-                      block_name in capture_layers)
+            captured = block_name in capture_layers
+            # column-gathered capture: sow only the facial-token columns of
+            # the attn2 softmax (the localization loss reads nothing else) —
+            # the full (B·H, Sq, K) fp32 capture was the train step's
+            # largest HBM consumer (VERDICT r4 next #1)
+            return tf(h, ctx, lora_scale, ip_scale, captured,
+                      capture_cols if captured else None)
 
         # -- down --
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,

@@ -367,11 +367,12 @@ class ConsistentIDPipeline:
         null_e, aug_e, text_e = self.encode_embeddings(params, cond)
         return jnp.concatenate([null_e, aug_e, text_e], axis=0), None
 
-    def calibrate_int8(self, prompt: str, face_image,
+    def calibrate_int8(self, prompt: Optional[str] = None, face_image=None,
                        num_calib_steps: int = 8, seed: int = 0,
                        margin: float = 1.1, negative_prompt: str = "",
                        parsing_labels=None, faceid_embeds=None,
-                       height=None, width=None) -> "ConsistentIDPipeline":
+                       height=None, width=None, lora_scale: float = 1.0,
+                       samples=None) -> "ConsistentIDPipeline":
         """Post-training calibration -> a pipeline serving
         quant="int8_static" (int8 MXU matmuls/convs WITHOUT the per-call
         dynamic activation-amax prologue, the bandwidth-bound reduction
@@ -379,33 +380,41 @@ class ConsistentIDPipeline:
 
         Q-Diffusion-style max calibration: the dynamic-int8 UNet twin runs
         over q-sample latents x_t = sqrt(a_t)*x0 + sqrt(1-a_t)*eps built
-        from the VAE encoding of `face_image` at `num_calib_steps`
+        from the VAE encoding of the identity image at `num_calib_steps`
         timesteps spread across the schedule, with the real CFG contexts;
         each Int8 layer sows its observed activation amax ("calib"
-        collection), max-merged across steps and scaled by `margin` into
-        per-tensor act_scale params. Calibrate on a handful of
-        representative identity images/prompts for serving; re-run when
-        the adapter weights change."""
+        collection), max-merged across steps/samples and scaled by
+        `margin` into per-tensor act_scale params.
+
+        Pass either a single (prompt, face_image) or `samples` — a list of
+        (prompt, face_image) pairs or dicts with keys prompt/face_image
+        (+ optional negative_prompt/parsing_labels/faceid_embeds) — whose
+        amax trees are max-merged; multi-sample calibration is the robust
+        default for serving (a single sample's max is fragile to
+        activation outliers on other inputs).
+
+        `lora_scale` must match the scale generation will fold at
+        (infer_unet folds LoRA into the base kernels before quantizing);
+        calibrating at 1.0 and serving at a different scale shifts
+        activation ranges against the calibrated clip points. Calibrate at
+        the serving scale, or at the max intended scale. Persist the
+        result with save_act_scales()/load_act_scales (io.quant_scales)."""
         cfg = self.config
         height = height or cfg.height
         width = width or cfg.width
 
-        cond = self.prepare_conditioning(
-            prompt, face_image, parsing_labels=parsing_labels,
-            faceid_embeds=faceid_embeds, negative_prompt=negative_prompt)
-        cond = self._device_cond(cond)
-        # jit the one-off prep: eager op-by-op execution costs a dispatch
-        # per op through a remote-TPU tunnel
-        ctx, added = jax.jit(self._calibration_batch)(self.params, cond)
-        bsz = ctx.shape[0]
-
-        # real-data latent: VAE-encode the identity image at generation size
-        img = np.asarray(
-            face_image.convert("RGB").resize((width, height), Image.BICUBIC),
-            np.float32) / 127.5 - 1.0
-        x0 = jax.jit(lambda p, x: self.bundle.vae.apply(
-            {"params": p}, x, method=AutoencoderKL.encode))(
-            self.params["vae"], jnp.asarray(img)[None])
+        if samples is None:
+            if prompt is None or face_image is None:
+                raise ValueError(
+                    "calibrate_int8 needs (prompt, face_image) or samples=")
+            samples = [{"prompt": prompt, "face_image": face_image,
+                        "negative_prompt": negative_prompt,
+                        "parsing_labels": parsing_labels,
+                        "faceid_embeds": faceid_embeds}]
+        else:
+            samples = [s if isinstance(s, dict)
+                       else {"prompt": s[0], "face_image": s[1]}
+                       for s in samples]
 
         calib_unet = self.bundle.calibration_unet()
         dummy_latent, dummy_ctx, dummy_added = self.bundle._unet_init_args(8)
@@ -415,9 +424,17 @@ class ConsistentIDPipeline:
                                     added_cond=dummy_added))["params"]
         uparams = self.params["unet"]
         if self.bundle.unet_config.lora_rank > 0:
-            uparams = fold_lora_params(uparams, 1.0)
+            uparams = fold_lora_params(uparams, lora_scale)
         qparams = jax.jit(
             lambda p: quantize_params_like(struct, p))(uparams)
+
+        # jit the one-off preps once; shapes are identical across samples
+        # (batch-1 conditioning), so these compile a single graph each.
+        # Eager op-by-op execution costs a dispatch per op through a
+        # remote-TPU tunnel.
+        prep_jit = jax.jit(self._calibration_batch)
+        encode_jit = jax.jit(lambda p, x: self.bundle.vae.apply(
+            {"params": p}, x, method=AutoencoderKL.encode))
 
         # one jitted graph per calibration step (q-sample + dynamic-int8
         # UNet apply + amax->scale + merge): eager per-layer scale math
@@ -426,9 +443,9 @@ class ConsistentIDPipeline:
             noise = jax.random.normal(key, x0_.shape, jnp.float32)
             xt = self.schedule.add_noise(x0_.astype(jnp.float32), noise,
                                          jnp.full((1,), t))
-            xt = jnp.broadcast_to(xt, (bsz, *xt.shape[1:]))
+            xt = jnp.broadcast_to(xt, (c.shape[0], *xt.shape[1:]))
             calib = calib_unet.apply(
-                {"params": p}, xt, jnp.full((bsz,), t, jnp.int32), c,
+                {"params": p}, xt, jnp.full((c.shape[0],), t, jnp.int32), c,
                 added_cond=a, mutable=["calib"])[1]["calib"]
             return act_scales_from_calib(calib, margin)
 
@@ -439,13 +456,33 @@ class ConsistentIDPipeline:
         n_train = len(self.schedule.alphas_cumprod)
         ts = np.linspace(0, n_train - 1,
                          num_calib_steps).round().astype(np.int32)
-        rng = jax.random.PRNGKey(seed)
         scales = None
-        for t in ts:
-            rng, k = jax.random.split(rng)
-            args = (qparams, x0, k, jnp.int32(int(t)), ctx, added)
-            scales = (first_jit(*args) if scales is None
-                      else merge_jit(*args, scales))
+        for sample in samples:
+            # same q-sample noise sequence for every sample: per-sample
+            # scales are then independent of sample order, and the merged
+            # tree is exactly the elementwise max of the per-sample trees
+            # (calibrate on subsets and merge later — same artifact)
+            rng = jax.random.PRNGKey(seed)
+            cond = self.prepare_conditioning(
+                sample["prompt"], sample["face_image"],
+                parsing_labels=sample.get("parsing_labels"),
+                faceid_embeds=sample.get("faceid_embeds"),
+                negative_prompt=sample.get("negative_prompt", ""))
+            cond = self._device_cond(cond)
+            ctx, added = prep_jit(self.params, cond)
+
+            # real-data latent: VAE-encode the identity at generation size
+            img = np.asarray(
+                sample["face_image"].convert("RGB").resize(
+                    (width, height), Image.BICUBIC),
+                np.float32) / 127.5 - 1.0
+            x0 = encode_jit(self.params["vae"], jnp.asarray(img)[None])
+
+            for t in ts:
+                rng, k = jax.random.split(rng)
+                args = (qparams, x0, k, jnp.int32(int(t)), ctx, added)
+                scales = (first_jit(*args) if scales is None
+                          else merge_jit(*args, scales))
         scales = jax.device_get(scales)
         return self.with_quant("int8_static", act_scales=scales)
 

@@ -39,9 +39,15 @@ def localization_loss_for_layer(
     token_idx: jax.Array,        # (B, N) int positions into K_text
     token_idx_mask: jax.Array,   # (B, N) bool validity
     normalize: bool = True,
+    pregathered: bool = False,
 ) -> jax.Array:
     """Reference get_object_localization_loss_for_one_layer
-    (functions.py:205-244) with static shapes."""
+    (functions.py:205-244) with static shapes.
+
+    pregathered=True: attn_prob is already the (B, H, Q, N) facial-token
+    columns (UNet capture_cols gathered them inside the attention before
+    sowing — 16x fewer capture bytes); skip the gather here. Exact same
+    math: normalization happens after gathering on both paths."""
     b, h, q, _ = attn_prob.shape
     n = segmaps.shape[1]
     size = int(round(q ** 0.5))
@@ -49,8 +55,12 @@ def localization_loss_for_layer(
                             (b, n, size, size), method="bilinear")
     maps = maps.reshape(b, 1, n, q).transpose(0, 1, 3, 2)      # (B,1,Q,N)
 
-    idx = jnp.broadcast_to(token_idx[:, None, None, :], (b, h, q, n))
-    token_prob = jnp.take_along_axis(attn_prob, idx, axis=3)   # (B,H,Q,N)
+    if pregathered:
+        assert attn_prob.shape[-1] == n, (attn_prob.shape, n)
+        token_prob = attn_prob
+    else:
+        idx = jnp.broadcast_to(token_idx[:, None, None, :], (b, h, q, n))
+        token_prob = jnp.take_along_axis(attn_prob, idx, axis=3)  # (B,H,Q,N)
 
     loss = balanced_l1_loss(token_prob, maps, normalize)       # (B,H,N)
     loss = loss * token_idx_mask[:, None, :].astype(loss.dtype)
@@ -64,13 +74,14 @@ def localization_loss(
     token_idx: jax.Array,
     token_idx_mask: jax.Array,
     normalize: bool = True,
+    pregathered: bool = False,
 ) -> jax.Array:
     """Average over captured layers (reference functions.py:247-261)."""
     total = 0.0
     for p in attn_probs:
         total = total + localization_loss_for_layer(
             p.astype(jnp.float32), segmaps, token_idx, token_idx_mask,
-            normalize)
+            normalize, pregathered=pregathered)
     return total / max(len(attn_probs), 1)
 
 

@@ -77,7 +77,8 @@ def sdxl_consistentid_loss(
     capture = localization_layer_names(config.localization_layers)
     eps_pred, inter = bundle.unet.apply(
         {"params": params["unet"]}, noisy, timesteps, context,
-        added_cond=added, capture_layers=capture, mutable=["intermediates"])
+        added_cond=added, capture_layers=capture,
+        capture_cols=batch["facial_idx"], mutable=["intermediates"])
 
     lat_h, lat_w = latents.shape[1:3]
     bg = jax.image.resize(batch["bg_masks"].astype(jnp.float32),
@@ -91,7 +92,7 @@ def sdxl_consistentid_loss(
     probs = collect_attn_probs(inter["intermediates"])
     facial_loss = config.facial_weight * localization_loss(
         probs, batch["region_masks"], batch["facial_idx"],
-        batch["facial_idx_mask"])
+        batch["facial_idx_mask"], pregathered=True)
 
     loss = predict_loss + facial_loss
     return loss, {"loss": loss, "predict_loss": predict_loss,

@@ -82,7 +82,8 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     return optax.adamw(
         learning_rate=config.learning_rate,
         b1=config.adam_b1, b2=config.adam_b2, eps=config.adam_eps,
-        weight_decay=config.weight_decay)
+        weight_decay=config.weight_decay,
+        mu_dtype=jnp.dtype(config.mu_dtype))
 
 
 def create_train_state(params: Dict, config: TrainConfig) -> TrainState:
@@ -149,9 +150,13 @@ def consistentid_loss(
     context = jnp.concatenate([fused, faceid_tokens], axis=1)
 
     capture = localization_layer_names(config.localization_layers)
+    # capture_cols: sow only the <=5 facial-token softmax columns the
+    # localization loss reads (16x fewer capture bytes than the full
+    # (B·H, Sq, K) fp32 maps — the r3 roofline's top bandwidth consumer)
     eps_pred, inter = bundle.unet.apply(
         {"params": params["unet"]}, noisy, timesteps, context,
-        capture_layers=capture, mutable=["intermediates"])
+        capture_layers=capture, capture_cols=batch["facial_idx"],
+        mutable=["intermediates"])
 
     # random foreground masking (p = mask_loss_prob): when it fires, the
     # predict loss itself is computed on masked pred/target
@@ -167,7 +172,7 @@ def consistentid_loss(
     probs = collect_attn_probs(inter["intermediates"])
     facial_loss = config.facial_weight * localization_loss(
         probs, batch["region_masks"], batch["facial_idx"],
-        batch["facial_idx_mask"])
+        batch["facial_idx_mask"], pregathered=True)
 
     loss = predict_loss + facial_loss
     metrics = {"loss": loss, "predict_loss": predict_loss,

@@ -55,6 +55,13 @@ import jax
 from __graft_entry__ import dryrun_multichip
 dryrun_multichip(8)" > /tmp/gate/dryrun.log 2>&1 && dryrun_ok=1
 
+# input-pipeline guardrail (VERDICT r4 next #8): ex/s per host core +
+# cores-to-parity vs the measured train step, and the GIL-stall detector —
+# bench.py exits nonzero if any load stage stopped releasing the GIL
+input_ok=0
+input_line=$(JAX_PLATFORMS=cpu timeout 900 python bench.py --input \
+  --n-images 32 2>/dev/null | tail -1) && input_ok=1
+
 bench_ok=1; bench_line="(skipped)"
 if [ "$NO_TPU" != "--no-tpu" ]; then
   bench_ok=0
@@ -66,13 +73,20 @@ if [ "$NO_TPU" != "--no-tpu" ]; then
   echo "$bench_line" | python scripts/perf_floor.py && bench_ok=1
 fi
 
-ok=$((pytest_ok * dryrun_ok * bench_ok))
-python - "$total_passed" "$total_failed" "$pytest_ok" "$dryrun_ok" "$bench_ok" "$ok" <<'PYEOF'
-import json, sys
-p, f, py, dr, be, ok = map(int, sys.argv[1:7])
+ok=$((pytest_ok * dryrun_ok * bench_ok * input_ok))
+INPUT_LINE="$input_line" python - "$total_passed" "$total_failed" "$pytest_ok" "$dryrun_ok" "$bench_ok" "$input_ok" "$ok" <<'PYEOF'
+import json, os, sys
+p, f, py, dr, be, inp, ok = map(int, sys.argv[1:8])
 rec = {"pytest_passed": p, "pytest_failed": f, "pytest_ok": bool(py),
        "dryrun_multichip_ok": bool(dr), "bench_tiny_ok": bool(be),
-       "ok": bool(ok)}
+       "input_pipeline_ok": bool(inp), "ok": bool(ok)}
+try:
+    line = json.loads(os.environ.get("INPUT_LINE") or "{}")
+    rec["input_pipeline"] = {k: line[k] for k in
+                             ("value", "ex_s_per_core", "cores_to_parity",
+                              "gil_max_stall_ms", "gil_ok") if k in line}
+except Exception:
+    pass
 json.dump(rec, open("GATE.json", "w"), indent=2)
 print("GATE:", json.dumps(rec))
 PYEOF

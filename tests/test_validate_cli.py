@@ -102,7 +102,7 @@ def test_fgid_pipeline_end_to_end(synth_dir, tmp_path):
 
 
 def test_mode_sweep_reports_identity_metrics(tmp_path):
-    """run_mode_sweep: all five serving modes scored on identical rows with
+    """run_mode_sweep: all seven serving modes scored on identical rows with
     FaceSim deltas vs exact (VERDICT r3 weak #3 — identity metrics, not
     pixel diffs). At tiny config with RANDOM weights the absolute deltas
     are meaningless (a random UNet has no temporal smoothness for DeepCache
@@ -142,11 +142,13 @@ def test_mode_sweep_reports_identity_metrics(tmp_path):
     face = Image.fromarray(rs.randint(0, 255, (64, 64, 3), np.uint8))
 
     out = validate_app.run_mode_sweep(pipe, face, 2)
-    assert set(out) == {"exact", "int8", "int8_static", "cache2", "cache3"}
+    assert set(out) == {"exact", "int8", "int8_static", "cache2", "cache3",
+                        "int8_static_cache2", "int8_static_cache3"}
     for mode, rec in out.items():
         assert rec["img_per_min"] > 0, (mode, rec)
         assert -1.0 <= rec["face_sim"] <= 1.0, (mode, rec)
-    for mode in ("int8", "int8_static", "cache2", "cache3"):
+    for mode in ("int8", "int8_static", "cache2", "cache3",
+                 "int8_static_cache2", "int8_static_cache3"):
         assert "d_face_sim" in out[mode]
         assert abs(out[mode]["d_face_sim"]) < 0.9  # not catastrophically off
     assert "d_face_sim" not in out["exact"]
@@ -221,6 +223,8 @@ def test_mode_sweep_runs_on_sdxl(tmp_path):
         np.random.RandomState(7).randint(0, 255, (64, 64, 3), np.uint8))
 
     out = validate_app.run_mode_sweep(pipe, face, 1)
-    assert set(out) == {"exact", "int8", "int8_static", "cache2", "cache3"}
-    for mode in ("int8", "int8_static", "cache2", "cache3"):
+    assert set(out) == {"exact", "int8", "int8_static", "cache2", "cache3",
+                        "int8_static_cache2", "int8_static_cache3"}
+    for mode in ("int8", "int8_static", "cache2", "cache3",
+                 "int8_static_cache2", "int8_static_cache3"):
         assert "d_face_sim" in out[mode]
