@@ -30,8 +30,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
+    # already-initialized check WITHOUT touching the XLA backend:
+    # jax.process_count() initializes the backend as a side effect, after
+    # which jax.distributed.initialize hard-fails ("must be called before
+    # any JAX calls") — i.e. the old guard broke every real multi-host
+    # launch. Caught by tests/test_multiprocess_dcn.py.
+    from jax._src import distributed as _distributed
+    if getattr(_distributed.global_state, "client", None) is not None:
+        return  # runtime already initialized the cluster
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
