@@ -117,6 +117,12 @@ def main():
                         "pipeline benches (1 = off). N>1 runs the full UNet "
                         "every N-th denoise step and only the shallow "
                         "level-0 blocks in between (small quality trade)")
+    p.add_argument("--encoded", action="store_true",
+                   help="--train: step on PRECOMPUTED frozen-encoder "
+                        "outputs (training/precompute.py) — the per-step "
+                        "VAE/ViT-H/CLIP-text forwards (~28%% of the 512px "
+                        "batch-8 device step, round-5 profile) happen once "
+                        "per corpus instead")
     p.add_argument("--mu-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="--train: AdamW first-moment storage dtype — "
@@ -349,6 +355,11 @@ def bench_train(args):
             remat_policy="dots" if args.remat == "dots" else "full",
             fused_gn=args.fused_gn)
         config = TrainConfig(mu_dtype=args.mu_dtype)
+    if args.encoded:
+        assert not args.sdxl, "--encoded bench is SD1.5-only for now"
+        from consistentid_tpu.training import (consistentid_loss_encoded,
+                                               synthetic_encoded_batch)
+        loss_kw["loss_fn_impl"] = consistentid_loss_encoded
     params = bundle.fast_random_params(jax.random.PRNGKey(0))
     params["unet"] = warm_start_ip_projections(params["unet"])
 
@@ -356,9 +367,14 @@ def bench_train(args):
     state = create_train_state(params, config)
     step = make_train_step(bundle, schedule, config, mesh=None,
                            donate=True, **loss_kw)
-    batch = {k: np.asarray(v) for k, v in synthetic_batch(
-        batch_size=batch_size, size=height, clip_size=224,
-        id_dim=512).items()}
+    if args.encoded:
+        batch = {k: np.asarray(v) for k, v in synthetic_encoded_batch(
+            bundle, batch_size=batch_size, latent_hw=height // 8,
+            mask_hw=height).items()}
+    else:
+        batch = {k: np.asarray(v) for k, v in synthetic_batch(
+            batch_size=batch_size, size=height, clip_size=224,
+            id_dim=512).items()}
     if args.sdxl:
         batch["clean_ids2"] = batch["clean_ids"].copy()
         # original_size + crop + target_size micro-conditioning
@@ -404,6 +420,7 @@ def bench_train(args):
                   f"{spc} steps/dispatch"
                   + (", fused-gn" if args.fused_gn else "")
                   + (", mu-bf16" if args.mu_dtype == "bfloat16" else "")
+                  + (", encoded" if args.encoded else "")
                   + ")",
         "value": round(dt, 4),
         "unit": "s/step",

